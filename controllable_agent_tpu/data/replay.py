@@ -1,0 +1,261 @@
+"""Device-resident episodic replay buffer with on-device sampling.
+
+TPU-native re-design of the reference's in-memory buffer
+(url_benchmark/in_memory_replay_buffer.py). Same sampling semantics —
+episode-granular ring storage ``[max_episodes, T+1, ...]``, uniform
+(episode, step) draws with length-weighted episode selection for variable
+lengths, geometric future-step sampling ``future = step + Geom(1-future)``
+for hindsight/contrastive targets (reference :139-190) — but:
+
+  * storage lives on device as a pytree of jnp arrays (shardable over a
+    mesh axis on the episode dimension);
+  * ``sample`` is a pure jittable function of (state, key), so it can be
+    fused INTO the learner step (one XLA program does gather + forward +
+    backward + optimizer), eliminating the host round-trip the reference
+    pays for every batch;
+  * ``add_episode`` commits whole episodes with dynamic_update_slice under
+    jit with donated buffers (the reference accumulates python lists per
+    step and commits on ``last()``; per-step host adds are provided by the
+    host-side ``ReplayBuffer`` wrapper below for API parity).
+
+The first dimension of every storage array is episodes; index 0 in time is
+the reference's "dummy first transition" so that ``action[t]`` is the action
+*leading into* ``obs[t]`` (reference add: :104-133).
+"""
+
+from __future__ import annotations
+
+import functools
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .episode_batch import EpisodeBatch
+
+Array = jnp.ndarray
+
+
+class SampleConfig(struct.PyTreeNode):
+    """Static sampling knobs (discount, future horizon)."""
+
+    discount: float = struct.field(pytree_node=False, default=0.99)
+    future: float = struct.field(pytree_node=False, default=0.99)
+
+
+class ReplayState(struct.PyTreeNode):
+    """Pytree of preallocated episode storage.
+
+    storage[name] has shape [max_episodes, T+1, ...]; ep_lengths[i] is the
+    number of real transitions in episode i (i.e. T for full episodes);
+    n_episodes counts committed episodes (<= max_episodes); idx is the next
+    ring slot to write.
+    """
+
+    storage: tp.Dict[str, Array]
+    ep_lengths: Array  # [max_episodes] int32
+    n_episodes: Array  # scalar int32
+    idx: Array  # scalar int32
+    max_episodes: int = struct.field(pytree_node=False)
+    max_episode_length: int = struct.field(pytree_node=False)
+
+
+def init_replay_state(specs: tp.Dict[str, tp.Tuple[tp.Tuple[int, ...], tp.Any]],
+                      max_episodes: int, max_episode_length: int) -> ReplayState:
+    """specs: name -> (per-step shape, dtype). Time axis is T+1."""
+    storage = {
+        name: jnp.zeros((max_episodes, max_episode_length + 1) + tuple(shape), dtype)
+        for name, (shape, dtype) in specs.items()
+    }
+    return ReplayState(
+        storage=storage,
+        ep_lengths=jnp.zeros((max_episodes,), jnp.int32),
+        n_episodes=jnp.zeros((), jnp.int32),
+        idx=jnp.zeros((), jnp.int32),
+        max_episodes=max_episodes,
+        max_episode_length=max_episode_length,
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def add_episode(state: ReplayState, episode: tp.Dict[str, Array],
+                length: Array) -> ReplayState:
+    """Commit one full episode (arrays of shape [T+1, ...]) at the ring slot."""
+    storage = dict(state.storage)
+    for name, values in episode.items():
+        dst = state.storage[name]
+        pad = dst.shape[1] - values.shape[0]
+        if pad:
+            values = jnp.concatenate(
+                [values, jnp.zeros((pad,) + values.shape[1:], dst.dtype)], axis=0)
+        idxs = (state.idx,) + (0,) * (dst.ndim - 1)
+        storage[name] = jax.lax.dynamic_update_slice(
+            dst, values[None].astype(dst.dtype), idxs)
+    ep_lengths = state.ep_lengths.at[state.idx].set(jnp.asarray(length, jnp.int32))
+    return state.replace(
+        storage=storage,
+        ep_lengths=ep_lengths,
+        n_episodes=jnp.minimum(state.n_episodes + 1, state.max_episodes),
+        idx=(state.idx + 1) % state.max_episodes,
+    )
+
+
+def _sample_indices(state: ReplayState, key: jax.Array, batch_size: int,
+                    future: float) -> tp.Tuple[Array, Array, Array]:
+    """Draw (episode, step, future-step) indices.
+
+    Matches reference semantics (in_memory_replay_buffer.py:146-161):
+    episodes drawn with probability proportional to length (which reduces to
+    uniform when lengths are equal), steps uniform in [1, len], future step
+    geometric past the current step, clipped to episode end.
+    """
+    k_ep, k_step, k_future = jax.random.split(key, 3)
+    valid = jnp.arange(state.max_episodes) < state.n_episodes
+    weights = jnp.where(valid, state.ep_lengths.astype(jnp.float32), 0.0)
+    # Gumbel-free categorical over episode lengths (uniform when fixed length)
+    ep_idx = jax.random.categorical(
+        k_ep, jnp.where(weights > 0, jnp.log(jnp.maximum(weights, 1e-9)), -jnp.inf),
+        shape=(batch_size,))
+    lengths = state.ep_lengths[ep_idx]
+    u = jax.random.uniform(k_step, (batch_size,))
+    step_idx = (u * lengths.astype(jnp.float32)).astype(jnp.int32) + 1
+    # geometric: k >= 1 with success prob (1 - future)
+    if future < 1.0:
+        g = jax.random.uniform(k_future, (batch_size,), minval=1e-10, maxval=1.0)
+        geom = jnp.floor(jnp.log(g) / jnp.log(future)).astype(jnp.int32) + 1
+        future_idx = jnp.clip(step_idx + geom, 0, lengths)
+    else:
+        future_idx = step_idx
+    return ep_idx, step_idx, future_idx
+
+
+def sample(state: ReplayState, key: jax.Array, batch_size: int,
+           cfg: SampleConfig, with_physics: bool = False,
+           with_future: bool = True) -> EpisodeBatch:
+    """Pure batched gather; jittable (and fusable into the learner step)."""
+    ep_idx, step_idx, future_idx = _sample_indices(state, key, batch_size, cfg.future)
+    s = state.storage
+
+    def at(name: str, t: Array) -> Array:
+        return s[name][ep_idx, t]
+
+    batch_names = {"observation", "action", "reward", "discount", "goal",
+                   "physics", "step_type"}
+    has_goal = "goal" in s
+    meta = {name: at(name, step_idx - 1) for name in s if name not in batch_names}
+    return EpisodeBatch(
+        obs=at("observation", step_idx - 1),
+        action=at("action", step_idx),
+        reward=at("reward", step_idx),
+        discount=cfg.discount * at("discount", step_idx),
+        next_obs=at("observation", step_idx),
+        goal=at("goal", step_idx - 1) if has_goal else None,
+        next_goal=at("goal", step_idx) if has_goal else None,
+        future_obs=at("observation", future_idx - 1) if (with_future and cfg.future < 1) else None,
+        future_goal=at("goal", future_idx - 1) if (has_goal and with_future and cfg.future < 1) else None,
+        physics=at("physics", step_idx) if (with_physics and "physics" in s) else None,
+        meta=meta,
+    )
+
+
+class ReplayBuffer:
+    """Host-side convenience wrapper with reference-compatible API.
+
+    Provides per-step ``add(time_step_dict, meta)`` accumulation (committing
+    on episode end), ``sample``, ``load`` from arrays, and ``relabel`` —
+    mirroring in_memory_replay_buffer.ReplayBuffer. The hot path for
+    training does NOT go through this class: loops hold the ReplayState
+    pytree and call the pure functions above inside jit.
+    """
+
+    def __init__(self, max_episodes: int, discount: float, future: float,
+                 max_episode_length: tp.Optional[int] = None) -> None:
+        self._max_episodes = max_episodes
+        self.cfg = SampleConfig(discount=discount, future=future)
+        self._max_episode_length = max_episode_length
+        self._current: tp.Dict[str, tp.List[np.ndarray]] = {}
+        self.state: tp.Optional[ReplayState] = None
+        self._collected_episodes = 0
+
+    # -- introspection ---------------------------------------------------
+    def __len__(self) -> int:
+        return 0 if self.state is None else int(self.state.n_episodes)
+
+    @property
+    def avg_episode_length(self) -> int:
+        if self.state is None or len(self) == 0:
+            return 0
+        lengths = np.asarray(self.state.ep_lengths[: len(self)])
+        return int(round(float(lengths.mean())))
+
+    # -- adding ----------------------------------------------------------
+    def _ensure_state(self, episode: tp.Dict[str, np.ndarray]) -> None:
+        if self.state is not None:
+            return
+        length = self._max_episode_length
+        if length is None:
+            length = next(iter(episode.values())).shape[0] - 1
+        specs = {name: (tuple(v.shape[1:]), v.dtype) for name, v in episode.items()}
+        self.state = init_replay_state(specs, self._max_episodes, length)
+
+    def add(self, time_step: tp.Mapping[str, tp.Any],
+            meta: tp.Mapping[str, np.ndarray], last: bool) -> None:
+        """Accumulate one step; commit the episode when ``last``."""
+        for src in (meta, time_step):
+            for name, value in src.items():
+                if name == "step_type":
+                    continue
+                if np.isscalar(value):
+                    value = np.full((1,), value, np.float32)
+                self._current.setdefault(name, []).append(
+                    np.asarray(value, np.float32))
+        if last:
+            episode = {k: np.stack(v) for k, v in self._current.items()}
+            self.add_episode(episode)
+            self._current = {}
+
+    def add_episode(self, episode: tp.Dict[str, np.ndarray]) -> None:
+        self._ensure_state(episode)
+        assert self.state is not None
+        length = next(iter(episode.values())).shape[0] - 1
+        ep = {k: jnp.asarray(v) for k, v in episode.items()}
+        self.state = add_episode(self.state, ep, jnp.asarray(length, jnp.int32))
+        self._collected_episodes += 1
+
+    # -- sampling --------------------------------------------------------
+    def sample(self, key: jax.Array, batch_size: int,
+               custom_reward: tp.Optional[tp.Callable[[np.ndarray], np.ndarray]] = None,
+               with_physics: bool = False) -> EpisodeBatch:
+        assert self.state is not None, "empty replay buffer"
+        need_phys = with_physics or custom_reward is not None
+        batch = jax.jit(sample, static_argnums=(2,), static_argnames=("with_physics",))(
+            self.state, key, batch_size, self.cfg, with_physics=need_phys)
+        if custom_reward is not None:
+            phys = np.asarray(batch.physics)
+            reward = np.asarray(custom_reward(phys), np.float32).reshape(-1, 1)
+            batch = batch.replace(reward=jnp.asarray(reward))
+        if not with_physics:
+            batch = batch.replace(physics=None)
+        return batch
+
+    # -- bulk load / relabel --------------------------------------------
+    def load_episodes(self, episodes: tp.Iterable[tp.Dict[str, np.ndarray]]) -> None:
+        """Bulk ingest (ExORL-style .npz episode dicts). Reference:
+        in_memory_replay_buffer.py:192-208."""
+        for episode in episodes:
+            if len(self) >= self._max_episodes:
+                break
+            self.add_episode(episode)
+
+    def relabel(self, custom_reward: tp.Callable[[np.ndarray], np.ndarray]) -> None:
+        """Recompute all rewards from stored physics (reference :210-216)."""
+        assert self.state is not None and "physics" in self.state.storage
+        phys = np.asarray(self.state.storage["physics"])
+        e, t = phys.shape[:2]
+        rewards = np.asarray(custom_reward(phys.reshape(e * t, -1)), np.float32)
+        rewards = rewards.reshape(e, t, 1)
+        storage = dict(self.state.storage)
+        storage["reward"] = jnp.asarray(rewards)
+        self.state = self.state.replace(storage=storage)

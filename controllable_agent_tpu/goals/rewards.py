@@ -1,0 +1,210 @@
+"""Custom reward functions for zero-shot evaluation.
+
+Mirrors the reference's reward-class zoo (url_benchmark/goals.py:224-613):
+seeded BaseReward with ``from_physics``, the named-task factory
+``get_reward_function``, MazeMultiGoal's 20-goal battery, the
+WalkerEquation sandboxed user-equation reward (tokenizer whitelist kept
+verbatim in spirit — it guards the public demo against code injection) and
+WalkerRandomReward.
+
+TPU redesign: ``from_physics`` is BATCHED — it maps a [N, physics_dim]
+array to [N] rewards as a pure function, so whole-buffer relabeling is one
+device pass instead of the reference's per-row MuJoCo state-replay loop
+(url_benchmark/in_memory_replay_buffer.py:40-55).
+"""
+
+from __future__ import annotations
+
+import io
+import token
+import tokenize
+import typing as tp
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.tolerance import tolerance
+from .registry import goal_spaces, goals
+from . import spaces as _spaces  # noqa: F401  (populates the registries)
+
+Array = jnp.ndarray
+
+# feature layouts per domain (see goals/spaces.py docstring)
+WALKER_FEATURES = ("x", "z", "up", "vx", "vz", "am")
+
+
+def _inv(distance: Array) -> Array:
+    return 1.0 / (1.0 + jnp.abs(distance))
+
+
+def get_goal_space_dim(name: str) -> int:
+    """Dim lookup (reference goals.py:218-221) without instantiating envs:
+    probe the registered space fn with a dummy feature vector."""
+    domain, fn = goal_spaces.lookup(name)
+    probe_dim = {"point_mass_maze": 4, "walker": 6, "quadruped": 8, "grid": 4}[domain]
+    return int(np.asarray(fn(jnp.zeros(probe_dim))).size)
+
+
+class BaseReward:
+    """Seeded custom reward (reference goals.py:224-240)."""
+
+    def __init__(self, seed: tp.Optional[int] = None) -> None:
+        self._rng = np.random.RandomState(seed)
+
+    def get_goal(self, goal_space: str) -> np.ndarray:
+        raise NotImplementedError
+
+    def from_physics(self, physics: np.ndarray) -> np.ndarray:
+        """Batched: [N, physics_dim] (or [physics_dim]) -> [N] (or scalar)."""
+        raise NotImplementedError
+
+    def __call__(self, physics: np.ndarray) -> np.ndarray:
+        return self.from_physics(physics)
+
+
+class PointMassReachReward(BaseReward):
+    """Native point-mass-maze reach reward (the DmcReward analogue for this
+    domain; reference goals.py:262-277 + point_mass_maze.py:193-203).
+
+    At relabel time the stored control is unknown, matching the reference's
+    from_physics (which resets state with zero control) — so the
+    small-control factor is 1.
+    """
+
+    def __init__(self, task: str, seed: tp.Optional[int] = None) -> None:
+        super().__init__(seed)
+        from ..envs.pointmass import TASKS
+        self.task = task
+        self.target = np.asarray(TASKS[task])
+
+    def get_goal(self, goal_space: str) -> np.ndarray:
+        if goal_space != "simplified_point_mass_maze":
+            raise ValueError(f"Goal space {goal_space} not supported")
+        return self.target.astype(np.float32)
+
+    def from_physics(self, physics: np.ndarray) -> np.ndarray:
+        pos = jnp.asarray(physics)[..., :2]
+        target_size = 0.015
+        dist = jnp.linalg.norm(pos - jnp.asarray(self.target), axis=-1)
+        return np.asarray(tolerance(dist, bounds=(0.0, target_size),
+                                    margin=target_size))
+
+
+class MazeMultiGoal(BaseReward):
+    """20 goals in the 4 maze rooms + tolerance reward + distance
+    (reference goals.py:371-412)."""
+
+    def __init__(self, seed: tp.Optional[int] = None) -> None:
+        super().__init__(seed)
+        self.goals = np.array([
+            [-0.15, 0.15], [-0.22, 0.22], [-0.08, 0.08], [-0.22, 0.08], [-0.08, 0.22],
+            [0.15, 0.15], [0.22, 0.22], [0.08, 0.08], [0.22, 0.08], [0.08, 0.22],
+            [-0.15, -0.15], [-0.22, -0.22], [-0.08, -0.08], [-0.22, -0.08], [-0.08, -0.22],
+            [0.15, -0.15], [0.22, -0.22], [0.08, -0.08], [0.22, -0.08], [0.08, -0.22],
+        ], dtype=np.float32)
+
+    def from_goal(self, achieved_goal: np.ndarray, desired_goal: np.ndarray
+                  ) -> tp.Tuple[np.ndarray, np.ndarray]:
+        """returns (reward, distance); batched over leading dims."""
+        target_size = 0.03
+        d = jnp.asarray(achieved_goal) - jnp.asarray(desired_goal)
+        distance = jnp.linalg.norm(d, axis=-1) if d.ndim > 0 else jnp.linalg.norm(d)
+        reward = tolerance(distance, bounds=(0.0, target_size), margin=target_size)
+        return np.asarray(reward), np.asarray(distance)
+
+
+class EquationReward(BaseReward):
+    """User-supplied Python expression over named physics features,
+    tokenizer-whitelisted then eval'd (reference WalkerEquation,
+    url_benchmark/goals.py:509-545). Generic over the feature layout."""
+
+    _NP_FUNCS = ("sin", "cos", "tan", "abs", "exp", "sqrt")
+
+    def __init__(self, string: str, feature_names: tp.Sequence[str],
+                 features_fn: tp.Callable[[np.ndarray], np.ndarray],
+                 seed: tp.Optional[int] = None) -> None:
+        super().__init__(seed)
+        self.feature_names = tuple(feature_names)
+        self._features_fn = features_fn
+        allowed = set(self.feature_names) | set(self._NP_FUNCS)
+        not_allowed = extract_names(string) - allowed
+        if not_allowed:
+            # safety measure: guards the public demo against injection
+            raise ValueError(
+                f"The following variables are not allowed: {not_allowed}\n"
+                f"Please only use {sorted(allowed)}")
+        self.string = string
+
+    def _eval(self, feats: np.ndarray) -> np.ndarray:
+        variables: tp.Dict[str, tp.Any] = {
+            name: feats[..., i] for i, name in enumerate(self.feature_names)}
+        for name in self._NP_FUNCS:
+            variables[name] = getattr(np, name)
+        out = eval(self.string, {"__builtins__": {}}, variables)  # pylint: disable=eval-used
+        return np.asarray(out, np.float32) * np.ones(feats.shape[:-1], np.float32)
+
+    def from_physics(self, physics: np.ndarray) -> np.ndarray:
+        feats = np.asarray(self._features_fn(np.asarray(physics)))
+        return self._eval(feats)
+
+    def from_features(self, feats: np.ndarray) -> np.ndarray:
+        return self._eval(feats)
+
+
+def _walker_features_fn(physics: np.ndarray) -> np.ndarray:
+    """Feature extraction for the walker domain; resolved lazily so the
+    equation machinery is importable without the walker env."""
+    from ..envs.walker import goal_features  # deferred: heavy module
+    return np.asarray(goal_features(jnp.asarray(physics)))
+
+
+class WalkerEquation(EquationReward):
+    """Reference WalkerEquation (goals.py:509-589): variables x, z, vx, vz,
+    up, am over the walker physics."""
+
+    def __init__(self, string: str, seed: tp.Optional[int] = None) -> None:
+        super().__init__(string, WALKER_FEATURES, _walker_features_fn, seed)
+
+
+class WalkerRandomReward(WalkerEquation):
+    """Weighted random eval equations (reference goals.py:592-613)."""
+
+    def __init__(self, seed: tp.Optional[int] = None) -> None:
+        rng = np.random.RandomState(seed)
+        x = rng.uniform(3, 15)
+        nx = rng.uniform(3, 8)
+        cases = [
+            (f"exp(-(x-{x:.1f})**2)", 5),
+            (f"exp(-(x-{x:.1f})**2) * up", 5),
+            (f"exp(-(x+{nx:.1f})**2)", 2),
+            ("vx > 1", 1),
+            ("vx > 3", 1),
+            ("vx < -1", 1),
+        ]
+        p = np.array([float(c[1]) for c in cases])
+        p /= p.sum()
+        selected = cases[rng.choice(range(p.size), p=p)][0]
+        super().__init__(selected)
+        self._rng = rng
+
+
+def extract_names(string: str) -> tp.Set[str]:
+    """All NAME tokens in an expression (reference goals.py:509-513)."""
+    rl = io.BytesIO(string.encode("utf-8")).readline
+    tokens = list(tokenize.tokenize(rl))
+    return {t.string for t in tokens if t.type == token.NAME}
+
+
+def get_reward_function(name: str, seed: tp.Optional[int] = None) -> BaseReward:
+    """String -> reward factory (reference goals.py:243-254)."""
+    if name == "maze_multi_goal":
+        return MazeMultiGoal(seed)
+    if name == "walker_random_equation":
+        return WalkerRandomReward(seed)
+    if name.startswith("point_mass_maze_"):
+        return PointMassReachReward(name[len("point_mass_maze_"):], seed)
+    if name.startswith("walker_") or name.startswith("quadruped_"):
+        # native env task rewards (DmcReward analogue); resolved lazily
+        from ..envs import dmc_tasks
+        return dmc_tasks.make_task_reward(name, seed)
+    raise ValueError(f"Unknown reward function {name!r}")

@@ -1,0 +1,1 @@
+from .mesh import make_mesh, replicate_spec, batch_spec, shard_batch, make_dp_trainer

@@ -1,0 +1,50 @@
+"""CLI: online reward-free pretraining.
+
+Usage (mirrors the reference CLI, README.md:43-56 / url_benchmark/pretrain.py:662):
+
+    python -m controllable_agent_tpu.pretrain agent=fb_ddpg \
+        task=point_mass_maze_reach_top_left goal_space=simplified_point_mass_maze \
+        num_train_frames=100000 agent.z_dim=50
+
+``agent=NAME`` selects the agent group; ``agent.*`` keys override the agent
+config; all other keys override the workspace config.
+"""
+
+from __future__ import annotations
+
+import sys
+import typing as tp
+
+from .config import apply_overrides
+from .train.workspace import OnlineWorkspace, OfflineWorkspace, WorkspaceConfig
+
+
+def split_overrides(argv: tp.Sequence[str]
+                    ) -> tp.Tuple[str, tp.List[str], tp.List[str]]:
+    agent_name = "fb_ddpg"
+    ws_overrides: tp.List[str] = []
+    agent_overrides: tp.List[str] = []
+    for arg in argv:
+        if arg.startswith("agent="):
+            agent_name = arg.split("=", 1)[1]
+        elif arg.startswith("agent."):
+            agent_overrides.append(arg[len("agent."):])
+        else:
+            ws_overrides.append(arg)
+    return agent_name, ws_overrides, agent_overrides
+
+
+def build_workspace(argv: tp.Sequence[str], offline: bool = False):
+    agent_name, ws_overrides, agent_overrides = split_overrides(argv)
+    cfg = apply_overrides(WorkspaceConfig(agent_name=agent_name), ws_overrides)
+    cls = OfflineWorkspace if offline else OnlineWorkspace
+    return cls(cfg, agent_cfg_overrides=agent_overrides)
+
+
+def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
+    ws = build_workspace(argv if argv is not None else sys.argv[1:])
+    ws.train()
+
+
+if __name__ == "__main__":
+    main()

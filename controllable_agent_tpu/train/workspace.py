@@ -1,0 +1,321 @@
+"""Workspace — env + agent + buffer + logger + checkpoint assembly, eval,
+and the offline/online training drivers.
+
+Re-designs the reference's BaseWorkspace / per-mode Workspaces
+(url_benchmark/pretrain.py:209-659, train_offline.py:56-134,
+anytrain.py:38-175) around fused device loops:
+
+  * offline: N gradient steps per device launch (sampling fused in);
+  * online: anytrain-style cycles — one vectorized batch of episodes per
+    launch, then matched gradient steps;
+  * eval: ALL eval episodes roll out in parallel under one jit (vmap over
+    episodes), replacing the reference's sequential per-episode loop
+    (pretrain.py:374-435).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import typing as tp
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..agents.registry import AGENTS, make_agent
+from ..config import apply_overrides, save_config
+from ..data import ReplayBuffer
+from ..envs.base import Environment
+from ..envs.gridworld import build_gridworld_task
+from ..envs.pointmass import PointMassMaze, TASKS as _PMM_TASKS
+from ..goals import get_goal_space_dim, get_reward_function, goal_spaces, goals
+from ..utils import KeyChain, Timer
+from . import checkpoint as ckpt_lib
+from .logger import Logger
+from .loops import OnlineTrainer, make_offline_trainer
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class WorkspaceConfig:
+    """Mirror of the reference workspace Config (url_benchmark/pretrain.py:51-106)."""
+
+    agent_name: str = "fb_ddpg"
+    task: str = "point_mass_maze_reach_top_left"
+    seed: int = 1
+    discount: float = 0.98
+    future: float = 0.99
+    goal_space: tp.Optional[str] = None
+    num_train_frames: int = 2_000_010
+    num_grad_steps: int = 1_000_000
+    num_seed_frames: int = 4000
+    eval_every_steps: int = 10_000
+    num_eval_episodes: int = 10
+    replay_buffer_episodes: int = 5000
+    checkpoint_every: int = 100_000
+    num_envs: int = 4
+    episode_length: tp.Optional[int] = None
+    steps_per_call: int = 200
+    custom_reward: tp.Optional[str] = None
+    folder: str = "exp_local"
+    use_console: bool = True
+
+
+def make_env(task: str, episode_length: tp.Optional[int] = None) -> Environment:
+    """Name-based env dispatch (reference _make_env, pretrain.py:316-325 /
+    dmc.make, dmc.py:388-419)."""
+    if task.startswith("grid_"):
+        kwargs = {} if episode_length is None else {
+            "max_episode_length": episode_length}
+        return build_gridworld_task(task[len("grid_"):], **kwargs)
+    if task.startswith("point_mass_maze_"):
+        sub = task[len("point_mass_maze_"):]
+        if sub not in _PMM_TASKS and sub != "multi_goal":
+            raise ValueError(f"Unknown point-mass task {sub}")
+        return PointMassMaze(sub if sub in _PMM_TASKS else "reach_top_left",
+                             episode_length=episode_length or 1000)
+    domain = task.split("_", 1)[0]
+    if domain in ("walker", "cheetah", "hopper", "quadruped"):
+        from ..envs import locomotion
+        return locomotion.make(task, episode_length=episode_length or 1000)
+    raise ValueError(f"Unknown task {task!r}")
+
+
+class Workspace:
+    def __init__(self, cfg: WorkspaceConfig,
+                 agent_cfg_overrides: tp.Sequence[str] = ()) -> None:
+        self.cfg = cfg
+        self.keys = KeyChain(cfg.seed)
+        self.work_dir = Path(cfg.folder)
+        self.work_dir.mkdir(parents=True, exist_ok=True)
+
+        self.env = make_env(cfg.task, cfg.episode_length)
+        self.domain = cfg.task.split("_", 1)[0]
+        if self.domain == "point":
+            self.domain = "point_mass_maze"
+
+        # goal space -> goal_fn over physics + goal dim
+        self.goal_fn: tp.Optional[tp.Callable[[Array], Array]] = None
+        goal_dim: tp.Optional[int] = None
+        if cfg.goal_space is not None:
+            space_fns = goal_spaces.funcs.get(self.domain, {})
+            if cfg.goal_space not in space_fns:
+                raise ValueError(
+                    f"Unknown goal space {cfg.goal_space} for {self.domain}")
+            space_fn = space_fns[cfg.goal_space]
+            feats_fn = getattr(self.env, "goal_features", lambda p: p)
+            self.goal_fn = lambda phys: space_fn(feats_fn(phys))
+            goal_dim = get_goal_space_dim(cfg.goal_space)
+
+        agent_cfg_cls, _ = AGENTS[cfg.agent_name]
+        agent_cfg = apply_overrides(
+            agent_cfg_cls(goal_space=cfg.goal_space),
+            list(agent_cfg_overrides))
+        self.agent = make_agent(cfg.agent_name, agent_cfg, self.env.spec,
+                                goal_dim)
+        self.agent_state = self.agent.init(self.keys.next())
+
+        self.buffer = ReplayBuffer(
+            max_episodes=cfg.replay_buffer_episodes, discount=cfg.discount,
+            future=cfg.future,
+            max_episode_length=self.env.spec.episode_length)
+        self.logger = Logger(self.work_dir, use_console=cfg.use_console)
+        self.timer = Timer()
+        self.global_step = 0
+        self.global_episode = 0
+        self._eval_fn: tp.Optional[tp.Callable] = None
+        self.eval_rewards_history: tp.List[float] = []
+
+        save_config(cfg, str(self.work_dir / "config.json"))
+        if (self.work_dir / "models" / "latest").exists():
+            self.load_checkpoint(self.work_dir / "models" / "latest")
+
+    # -- eval -----------------------------------------------------------
+    def _init_eval_meta(self) -> Array:
+        """Eval-time z selection (reference _init_eval_meta,
+        pretrain.py:147-206)."""
+        agent, state = self.agent, self.agent_state
+        # gridworld: goal-obs path
+        if hasattr(self.env, "get_goal_obs"):
+            env_state, _ = self.env.reset(self.keys.next())
+            return agent.get_goal_meta(state, self.env.get_goal_obs(env_state))
+        # custom reward with a registered goal
+        if self.cfg.custom_reward is not None:
+            reward = get_reward_function(self.cfg.custom_reward, self.cfg.seed)
+            if self.cfg.goal_space is not None:
+                try:
+                    g = reward.get_goal(self.cfg.goal_space)
+                    return agent.get_goal_meta(state, jnp.asarray(g))
+                except (NotImplementedError, ValueError):
+                    pass
+            if len(self.buffer) > 0:
+                return self._infer_meta_from_replay(reward)
+        # registered goal for (goal_space, task)
+        if self.cfg.goal_space is not None:
+            space_goals = goals.funcs.get(self.cfg.goal_space, {})
+            if self.cfg.task in space_goals:
+                g = space_goals[self.cfg.task]()
+                return agent.get_goal_meta(state, jnp.asarray(g))
+        # fallback: reward regression over replay samples
+        if len(self.buffer) > 0:
+            return self._infer_meta_from_replay(None)
+        return jnp.asarray(agent.init_meta(state, self.keys.next())["z"])
+
+    def _infer_meta_from_replay(self, custom_reward: tp.Optional[tp.Any]) -> Array:
+        """z = rᵀB/N over num_inference_steps relabeled samples
+        (reference pretrain.py:166-184)."""
+        agent, state = self.agent, self.agent_state
+        n = agent.cfg.num_inference_steps
+        batch = self.buffer.sample(
+            self.keys.next(), n,
+            custom_reward=(custom_reward.from_physics if custom_reward else None))
+        obs = batch.next_goal if (self.cfg.goal_space is not None
+                                  and batch.next_goal is not None) else batch.next_obs
+        return agent.infer_meta_from_obs_and_rewards(state, obs, batch.reward)
+
+    def _make_eval_fn(self) -> tp.Callable:
+        env, agent = self.env, self.agent
+        T = env.spec.episode_length
+        discrete = env.spec.discrete_actions
+
+        def one_episode(state: tp.Any, z: Array, key: jax.Array
+                        ) -> tp.Tuple[Array, Array, Array]:
+            k_reset, _ = jax.random.split(key)
+            env_state, ts = env.reset(k_reset)
+
+            def body(carry, _):
+                env_state, ts, total = carry
+                action = agent._act(state, ts.observation[None], z[None],
+                                    jnp.asarray(10**9), key, eval_mode=True)
+                a = action[0]
+                env_state, ts = env.step(env_state, a)
+                return (env_state, ts, total + ts.reward), ts.physics
+
+            (env_state, ts, total), physics = jax.lax.scan(
+                body, (env_state, ts, jnp.zeros(())), None, length=T)
+            return total, physics, ts.observation
+
+        def eval_all(state_: tp.Any, z: Array, keys: jax.Array):
+            return jax.vmap(one_episode, in_axes=(None, None, 0))(state_, z, keys)
+
+        return jax.jit(eval_all)
+
+    def evaluate(self) -> tp.Dict[str, float]:
+        if self._eval_fn is None:
+            self._eval_fn = self._make_eval_fn()
+        z = self._init_eval_meta()
+        keys = jax.random.split(self.keys.next(), self.cfg.num_eval_episodes)
+        totals, physics, _ = self._eval_fn(self.agent_state, z, keys)
+        totals = np.asarray(totals)
+        if self.cfg.custom_reward is not None:
+            reward = get_reward_function(self.cfg.custom_reward, self.cfg.seed)
+            phys = np.asarray(physics)  # [episodes, T, phys_dim]
+            r = reward.from_physics(phys.reshape(-1, phys.shape[-1]))
+            totals = np.asarray(r).reshape(phys.shape[0], phys.shape[1]).sum(1)
+        metrics = {
+            "episode_reward": float(totals.mean()),
+            "episode_length": float(self.env.spec.episode_length),
+            "episode": float(self.global_episode),
+            "step": float(self.global_step),
+        }
+        self.eval_rewards_history.append(metrics["episode_reward"])
+        with self.logger.log_and_dump_ctx(self.global_step, ty="eval") as log:
+            for k, v in metrics.items():
+                log(k, v)
+        return metrics
+
+    # -- checkpointing ---------------------------------------------------
+    def save_checkpoint(self, path: tp.Optional[Path] = None,
+                        exclude: tp.Sequence[str] = ()) -> None:
+        path = path or (self.work_dir / "models" / "latest")
+        path.parent.mkdir(parents=True, exist_ok=True)
+        ckpt_lib.save_checkpoint(path, {
+            "agent": self.agent_state,
+            "replay": self.buffer.state,
+            "global_step": self.global_step,
+            "global_episode": self.global_episode,
+        }, exclude=exclude)
+
+    def load_checkpoint(self, path: Path,
+                        only: tp.Optional[tp.Sequence[str]] = None,
+                        exclude: tp.Sequence[str] = ()) -> None:
+        out = ckpt_lib.load_checkpoint(path, {"agent": self.agent_state},
+                                       only=only, exclude=exclude)
+        if "agent" in out:
+            self.agent_state = out["agent"]
+        if "replay" in out:
+            self.buffer.state = out["replay"]
+        if only is None or "global_step" in (only or ()):
+            self.global_step = out["global_step"]
+            self.global_episode = out["global_episode"]
+
+
+class OfflineWorkspace(Workspace):
+    """Pure gradient-step training over a loaded buffer
+    (reference train_offline.py:101-134)."""
+
+    def train(self) -> None:
+        cfg = self.cfg
+        assert len(self.buffer) > 0, "offline training requires a loaded buffer"
+        trainer = make_offline_trainer(
+            self.agent, self.buffer.cfg, self.agent.cfg.batch_size,
+            steps_per_call=cfg.steps_per_call)
+        while self.global_step < cfg.num_grad_steps:
+            self.agent_state, metrics = trainer(
+                self.agent_state, self.buffer.state, self.keys.next())
+            self.global_step += cfg.steps_per_call
+            elapsed, total = self.timer.reset()
+            with self.logger.log_and_dump_ctx(self.global_step, "train") as log:
+                log("fps", cfg.steps_per_call / max(elapsed, 1e-9))
+                log("total_time", total)
+                log("step", self.global_step)
+                for k, v in metrics.items():
+                    log(k, float(v))
+            if self.global_step % cfg.eval_every_steps < cfg.steps_per_call:
+                self.evaluate()
+            if self.global_step % cfg.checkpoint_every < cfg.steps_per_call:
+                self.save_checkpoint()
+        self.save_checkpoint()
+
+
+class OnlineWorkspace(Workspace):
+    """anytrain-style online loop (reference anytrain.py:133-164),
+    vectorized over cfg.num_envs env instances."""
+
+    def train(self) -> None:
+        cfg = self.cfg
+        trainer = OnlineTrainer(
+            self.env, self.agent, self.buffer, num_envs=cfg.num_envs,
+            goal_fn=self.goal_fn,
+            updates_per_step=1.0 / max(1, getattr(self.agent.cfg,
+                                                  "update_every_steps", 2)))
+        trainer.global_step = self.global_step
+        trainer.global_episode = self.global_episode
+        T = self.env.spec.episode_length
+        steps_per_cycle = T * cfg.num_envs
+        while self.global_step < cfg.num_train_frames:
+            warmup = self.global_step < cfg.num_seed_frames
+            if warmup:
+                trainer_updates, trainer.updates_per_step = trainer.updates_per_step, 0.0
+            self.agent_state, metrics = trainer.run_cycle(
+                self.agent_state, self.keys.next())
+            if warmup:
+                trainer.updates_per_step = trainer_updates
+            self.global_step = trainer.global_step
+            self.global_episode = trainer.global_episode
+            elapsed, total = self.timer.reset()
+            with self.logger.log_and_dump_ctx(self.global_step, "train") as log:
+                log("fps", steps_per_cycle / max(elapsed, 1e-9))
+                log("total_time", total)
+                log("step", self.global_step)
+                log("episode", self.global_episode)
+                log("buffer_size", len(self.buffer))
+                for k, v in metrics.items():
+                    log(k, float(v))
+            if self.global_step % cfg.eval_every_steps < steps_per_cycle:
+                self.evaluate()
+            if self.global_step % cfg.checkpoint_every < steps_per_cycle:
+                self.save_checkpoint()
+        self.save_checkpoint()

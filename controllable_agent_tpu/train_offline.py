@@ -1,0 +1,52 @@
+"""CLI: offline training from a stored replay buffer (ExORL workflow).
+
+Mirrors url_benchmark/train_offline.py: load episodes (.npz dir or a saved
+replay checkpoint), optionally relabel rewards for the target task from
+stored physics, then run pure gradient steps.
+
+    python -m controllable_agent_tpu.train_offline agent=fb_ddpg \
+        task=point_mass_maze_reach_top_left replay_dir=/path/to/episodes
+"""
+
+from __future__ import annotations
+
+import sys
+import typing as tp
+from pathlib import Path
+
+from .data.exorl import load_exorl_episodes
+from .goals import get_reward_function
+from .pretrain import build_workspace
+
+
+def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
+    argv = list(argv if argv is not None else sys.argv[1:])
+    replay_dir: tp.Optional[str] = None
+    relabel = True
+    rest: tp.List[str] = []
+    for arg in argv:
+        if arg.startswith("replay_dir="):
+            replay_dir = arg.split("=", 1)[1]
+        elif arg.startswith("relabel="):
+            relabel = arg.split("=", 1)[1].lower() == "true"
+        else:
+            rest.append(arg)
+    ws = build_workspace(rest, offline=True)
+    if replay_dir is not None:
+        episodes = load_exorl_episodes(Path(replay_dir))
+        if relabel:
+            reward_fn = get_reward_function(ws.cfg.task, ws.cfg.seed)
+            episodes = (
+                {**ep, "reward": reward_fn.from_physics(ep["physics"]).reshape(-1, 1)}
+                for ep in episodes)
+        if ws.goal_fn is not None:
+            import numpy as np
+            episodes = (
+                {**ep, "goal": np.asarray(ws.goal_fn(ep["physics"]))}
+                for ep in episodes)
+        ws.buffer.load_episodes(episodes)
+    ws.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,5 @@
+from .schedules import schedule
+from .steps import Until, Every, Timer
+from .distributions import TruncatedNormal, SquashedNormal
+from .prng import KeyChain
+from .tree import soft_update, hard_update, param_norm, tree_size

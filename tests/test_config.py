@@ -1,0 +1,59 @@
+import dataclasses
+import typing as tp
+
+import pytest
+
+from controllable_agent_tpu.config import apply_overrides, to_flat_dict
+
+
+@dataclasses.dataclass(frozen=True)
+class Inner:
+    z_dim: int = 50
+    lr: float = 1e-4
+    goal_space: tp.Optional[str] = None
+    norm_z: bool = True
+    bounds: tp.Tuple[float, float] = (-5.0, 2.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class Outer:
+    task: str = "walker_walk"
+    seed: int = 1
+    agent: Inner = dataclasses.field(default_factory=Inner)
+
+
+def test_overrides() -> None:
+    cfg = apply_overrides(Outer(), ["task=cheetah_run", "agent.z_dim=100",
+                                    "agent.lr=3e-4", "agent.norm_z=false",
+                                    "agent.goal_space=simplified_walker"])
+    assert cfg.task == "cheetah_run"
+    assert cfg.agent.z_dim == 100
+    assert cfg.agent.lr == pytest.approx(3e-4)
+    assert cfg.agent.norm_z is False
+    assert cfg.agent.goal_space == "simplified_walker"
+    # untouched fields keep defaults; original is unchanged (frozen)
+    assert cfg.seed == 1
+    assert Outer().agent.z_dim == 50
+
+
+def test_optional_none() -> None:
+    cfg = apply_overrides(Outer(), ["agent.goal_space=none"])
+    assert cfg.agent.goal_space is None
+
+
+def test_tuple_override() -> None:
+    cfg = apply_overrides(Outer(), ["agent.bounds=[-3,1]"])
+    assert cfg.agent.bounds == (-3.0, 1.0)
+
+
+def test_unknown_key_raises() -> None:
+    with pytest.raises(ValueError):
+        apply_overrides(Outer(), ["agent.nope=1"])
+    with pytest.raises(ValueError):
+        apply_overrides(Outer(), ["badsyntax"])
+
+
+def test_flat_dict() -> None:
+    flat = to_flat_dict(Outer())
+    assert flat["agent.z_dim"] == 50
+    assert flat["task"] == "walker_walk"

@@ -1,0 +1,113 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from controllable_agent_tpu.agents import DiscreteFBAgent, DiscreteFBConfig, FBDDPGAgent, FBDDPGConfig
+from controllable_agent_tpu.data import ReplayBuffer
+from controllable_agent_tpu.data.episode_batch import EpisodeBatch
+from controllable_agent_tpu.envs.pointmass import PointMassMaze
+from controllable_agent_tpu.parallel import make_dp_trainer, make_mesh, shard_batch
+from controllable_agent_tpu.train.loops import (
+    OnlineTrainer,
+    make_episode_collector,
+    make_offline_trainer,
+)
+
+_SMALL = dict(hidden_dim=32, backward_hidden_dim=32, feature_dim=16, z_dim=8,
+              batch_size=32)
+
+
+def _filled_buffer(obs_dim: int = 4, act_dim: int = 2) -> ReplayBuffer:
+    buf = ReplayBuffer(max_episodes=4, discount=0.98, future=0.99)
+    rng = np.random.RandomState(0)
+    T = 20
+    for _ in range(4):
+        buf.add_episode({
+            "observation": rng.randn(T + 1, obs_dim).astype(np.float32),
+            "action": rng.uniform(-1, 1, (T + 1, act_dim)).astype(np.float32),
+            "reward": rng.rand(T + 1, 1).astype(np.float32),
+            "discount": np.ones((T + 1, 1), np.float32),
+        })
+    return buf
+
+
+def test_offline_trainer_scans_multiple_steps() -> None:
+    agent = FBDDPGAgent(FBDDPGConfig(**_SMALL), obs_dim=4, action_dim=2)
+    buf = _filled_buffer()
+    trainer = make_offline_trainer(agent, buf.cfg, 32, steps_per_call=5)
+    state = agent.init(jax.random.key(0))
+    state, metrics = trainer(state, buf.state, jax.random.key(1))
+    assert int(state.step) == 5
+    assert np.isfinite(float(metrics["fb_loss"]))
+
+
+def test_episode_collector_shapes() -> None:
+    env = PointMassMaze("reach_top_left", episode_length=10)
+    agent = FBDDPGAgent(FBDDPGConfig(**_SMALL), obs_dim=4, action_dim=2)
+    state = agent.init(jax.random.key(0))
+    collect = make_episode_collector(env, agent, num_envs=3,
+                                     goal_fn=lambda p: p[..., :2])
+    z = agent.sample_z(jax.random.key(1), 3)
+    keys = jax.random.split(jax.random.key(2), 3)
+    traj = collect(state, z, keys, jnp.asarray(0), jax.random.key(3))
+    assert traj["observation"].shape == (11, 3, 4)
+    assert traj["action"].shape == (11, 3, 2)
+    assert traj["reward"].shape == (11, 3, 1)
+    assert traj["goal"].shape == (11, 3, 2)
+    # first row is the dummy FIRST transition (zero action/reward)
+    np.testing.assert_allclose(np.asarray(traj["action"][0]), 0.0)
+
+
+def test_online_trainer_cycle() -> None:
+    env = PointMassMaze("reach_top_left", episode_length=10)
+    agent = FBDDPGAgent(FBDDPGConfig(**_SMALL), obs_dim=4, action_dim=2)
+    buf = ReplayBuffer(max_episodes=8, discount=0.98, future=0.99,
+                       max_episode_length=10)
+    trainer = OnlineTrainer(env, agent, buf, num_envs=2,
+                            updates_per_step=0.2)
+    state = agent.init(jax.random.key(0))
+    state, metrics = trainer.run_cycle(state, jax.random.key(1))
+    assert len(buf) == 2
+    assert trainer.global_step == 20
+    assert int(state.step) == 4  # 20 steps * 0.2
+    state, _ = trainer.run_cycle(state, jax.random.key(2))
+    assert len(buf) == 4
+
+
+def test_dp_trainer_on_mesh_matches_single_device() -> None:
+    """8-way data-parallel update must produce finite loss and keep params
+    replicated (the mesh is the CPU-virtual stand-in for a TPU slice)."""
+    agent = FBDDPGAgent(FBDDPGConfig(**_SMALL), obs_dim=4, action_dim=2)
+    rng = np.random.RandomState(0)
+    n = 32
+    batch = EpisodeBatch(
+        obs=jnp.asarray(rng.randn(n, 4), jnp.float32),
+        action=jnp.asarray(rng.uniform(-1, 1, (n, 2)), jnp.float32),
+        reward=jnp.asarray(rng.rand(n, 1), jnp.float32),
+        next_obs=jnp.asarray(rng.randn(n, 4), jnp.float32),
+        discount=jnp.full((n, 1), 0.98, jnp.float32),
+        future_obs=jnp.asarray(rng.randn(n, 4), jnp.float32),
+    )
+    mesh = make_mesh(8)
+    state = agent.init(jax.random.key(0))
+    dp_update = make_dp_trainer(agent, mesh)
+    with mesh:
+        sharded = shard_batch(batch, mesh)
+        new_state, metrics = dp_update(state, sharded, jax.random.key(1))
+    assert np.isfinite(float(metrics["fb_loss"]))
+    # params identical on all devices (replicated sharding)
+    leaf = jax.tree.leaves(new_state.forward_params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_discrete_collector_action_dtype() -> None:
+    from controllable_agent_tpu.envs import build_gridworld_task
+    env = build_gridworld_task("obstacle", max_episode_length=8)
+    agent = DiscreteFBAgent(DiscreteFBConfig(**_SMALL), obs_dim=2, n_actions=5)
+    state = agent.init(jax.random.key(0))
+    collect = make_episode_collector(env, agent, num_envs=2)
+    z = agent.sample_z(jax.random.key(1), 2)
+    keys = jax.random.split(jax.random.key(2), 2)
+    traj = collect(state, z, keys, jnp.asarray(10**6), jax.random.key(3))
+    assert traj["action"].shape == (9, 2, 1)
+    assert traj["observation"].shape == (9, 2, 2)

@@ -1,0 +1,132 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from controllable_agent_tpu.data import ReplayBuffer, SampleConfig
+from controllable_agent_tpu.data.replay import sample
+
+
+def _make_episode(length: int, obs_dim: int = 3, act_dim: int = 2,
+                  seed: int = 0) -> dict:
+    rng = np.random.RandomState(seed)
+    return {
+        "observation": rng.randn(length + 1, obs_dim).astype(np.float32),
+        "action": rng.randn(length + 1, act_dim).astype(np.float32),
+        "reward": rng.rand(length + 1, 1).astype(np.float32),
+        "discount": np.ones((length + 1, 1), np.float32),
+        "goal": rng.randn(length + 1, 2).astype(np.float32),
+        "physics": rng.randn(length + 1, 4).astype(np.float32),
+    }
+
+
+def test_add_and_len() -> None:
+    buf = ReplayBuffer(max_episodes=5, discount=0.98, future=0.99)
+    for i in range(3):
+        buf.add_episode(_make_episode(10, seed=i))
+    assert len(buf) == 3
+    assert buf.avg_episode_length == 10
+
+
+def test_ring_overwrite() -> None:
+    buf = ReplayBuffer(max_episodes=3, discount=0.98, future=0.99)
+    for i in range(7):
+        buf.add_episode(_make_episode(10, seed=i))
+    assert len(buf) == 3
+    assert buf._collected_episodes == 7
+
+
+def test_variable_length_avg() -> None:
+    buf = ReplayBuffer(max_episodes=5, discount=0.98, future=0.99,
+                       max_episode_length=20)
+    buf.add_episode(_make_episode(10))
+    buf.add_episode(_make_episode(20))
+    assert buf.avg_episode_length == 15
+
+
+def test_sample_shapes_and_semantics() -> None:
+    buf = ReplayBuffer(max_episodes=4, discount=0.9, future=0.99)
+    for i in range(4):
+        buf.add_episode(_make_episode(12, seed=i))
+    batch = buf.sample(jax.random.key(0), 64)
+    assert batch.obs.shape == (64, 3)
+    assert batch.action.shape == (64, 2)
+    assert batch.reward.shape == (64, 1)
+    assert batch.next_obs.shape == (64, 3)
+    assert batch.goal is not None and batch.goal.shape == (64, 2)
+    assert batch.future_obs is not None and batch.future_obs.shape == (64, 3)
+    # discount folds in the sampling-config discount factor
+    np.testing.assert_allclose(np.asarray(batch.discount), 0.9, rtol=1e-6)
+
+
+def test_sample_index_consistency() -> None:
+    """next_obs must be the observation one step after obs within one episode."""
+    buf = ReplayBuffer(max_episodes=2, discount=1.0, future=0.99)
+    ep = _make_episode(20)
+    buf.add_episode(ep)
+    batch = buf.sample(jax.random.key(1), 128)
+    obs_all = ep["observation"]
+    for o, no in zip(np.asarray(batch.obs), np.asarray(batch.next_obs)):
+        i = int(np.argmin(np.linalg.norm(obs_all - o, axis=1)))
+        np.testing.assert_allclose(no, obs_all[i + 1], rtol=1e-5)
+
+
+def test_future_sampling_is_forward_in_time() -> None:
+    """future_obs is at an index >= the current step (geometric offset)."""
+    buf = ReplayBuffer(max_episodes=1, discount=1.0, future=0.9)
+    length = 30
+    ep = _make_episode(length)
+    # encode the step index in the observation for verification
+    ep["observation"][:, 0] = np.arange(length + 1)
+    buf.add_episode(ep)
+    batch = buf.sample(jax.random.key(2), 256)
+    step = np.asarray(batch.next_obs)[:, 0]
+    future = np.asarray(batch.future_obs)[:, 0]
+    assert (future >= step - 1).all()
+    assert (future <= length).all()
+    # geometric with p=0.1 must reach beyond one step fairly often
+    assert (future > step).mean() > 0.5
+
+
+def test_custom_reward_relabel_on_sample() -> None:
+    buf = ReplayBuffer(max_episodes=2, discount=1.0, future=0.99)
+    buf.add_episode(_make_episode(10))
+
+    def reward_fn(phys: np.ndarray) -> np.ndarray:
+        return phys[:, 0]
+
+    batch = buf.sample(jax.random.key(3), 32, custom_reward=reward_fn,
+                       with_physics=True)
+    np.testing.assert_allclose(
+        np.asarray(batch.reward)[:, 0], np.asarray(batch.physics)[:, 0], rtol=1e-5)
+
+
+def test_whole_buffer_relabel() -> None:
+    buf = ReplayBuffer(max_episodes=2, discount=1.0, future=0.99)
+    buf.add_episode(_make_episode(10))
+    buf.relabel(lambda phys: phys[:, 1])
+    batch = buf.sample(jax.random.key(4), 32, with_physics=True)
+    np.testing.assert_allclose(
+        np.asarray(batch.reward)[:, 0], np.asarray(batch.physics)[:, 1], rtol=1e-5)
+
+
+def test_per_step_add_commits_on_last() -> None:
+    buf = ReplayBuffer(max_episodes=2, discount=1.0, future=0.99)
+    for t in range(6):
+        ts = {
+            "observation": np.full(3, t, np.float32),
+            "action": np.zeros(2, np.float32),
+            "reward": 0.0,
+            "discount": 1.0,
+        }
+        buf.add(ts, meta={"z": np.ones(4, np.float32)}, last=(t == 5))
+    assert len(buf) == 1
+    batch = buf.sample(jax.random.key(5), 8)
+    assert "z" in batch.meta and batch.meta["z"].shape == (8, 4)
+
+
+def test_sample_jits_with_state_donation() -> None:
+    buf = ReplayBuffer(max_episodes=2, discount=0.99, future=0.5)
+    buf.add_episode(_make_episode(10))
+    fn = jax.jit(sample, static_argnums=(2,))
+    batch = fn(buf.state, jax.random.key(0), 16, buf.cfg)
+    assert batch.obs.shape == (16, 3)
