@@ -31,3 +31,41 @@ class AgentProtocol(tp.Protocol):
                key: jax.Array) -> tp.Tuple[tp.Any, tp.Dict[str, jnp.ndarray]]: ...
 
     def init_meta(self, state: tp.Any, key: jax.Array) -> MetaDict: ...
+
+
+class ZMetaMixin:
+    """Uniform meta-dict policy interface for agents whose act() takes the
+    task vector under ``meta_key`` ("z", "task", "g"). Gives every agent
+
+        policy_act(state, obs, meta_dict, step, key, eval_mode)
+        rollout_update_meta(state, meta, t, key)  # in-episode resampling
+
+    both traceable inside the vectorized episode collector (the reference's
+    update_meta host hook, url_benchmark/agent/fb_ddpg.py:246-256, done
+    per-step inside the scan instead).
+    """
+
+    meta_key: str = "z"
+
+    def policy_act(self, state: tp.Any, obs: jnp.ndarray, meta: MetaDict,
+                   step: jnp.ndarray, key: jax.Array,
+                   eval_mode: bool = False) -> jnp.ndarray:
+        return self.act(state, obs, meta[self.meta_key], step, key,
+                        eval_mode=eval_mode)
+
+    def rollout_update_meta(self, state: tp.Any, meta: MetaDict,
+                            t: jnp.ndarray, key: jax.Array) -> MetaDict:
+        """Resample the task vector every update_z_every_step env steps
+        (probability update_z_proba), batched over envs."""
+        cfg = self.cfg
+        every = getattr(cfg, "update_z_every_step", 0)
+        if not every or not hasattr(self, "sample_z"):
+            return meta
+        k_p, k_z = jax.random.split(key)
+        z = meta[self.meta_key]
+        n = z.shape[0]
+        proba = getattr(cfg, "update_z_proba", 1.0)
+        resample = ((t % every) == 0) & (
+            jax.random.uniform(k_p, (n, 1)) < proba)
+        new_z = self.sample_z(k_z, n)
+        return {**meta, self.meta_key: jnp.where(resample, new_z, z)}

@@ -142,6 +142,16 @@ class DDPGAgent:
             reward_opt_state=reward_opt_state,
         )
 
+    # -- uniform policy interface ----------------------------------------
+    def policy_act(self, state: "DDPGTrainState", obs: Array, meta: MetaDict,
+                   step: Array, key: jax.Array,
+                   eval_mode: bool = False) -> Array:
+        return self.act(state, obs, meta, step, key, eval_mode=eval_mode)
+
+    def rollout_update_meta(self, state: "DDPGTrainState", meta: MetaDict,
+                            t: Array, key: jax.Array) -> MetaDict:
+        return meta
+
     # -- meta (none for plain DDPG) --------------------------------------
     def init_meta(self, state: DDPGTrainState, key: jax.Array) -> MetaDict:
         return {}

@@ -22,7 +22,7 @@ from ..data.episode_batch import EpisodeBatch
 from ..models.networks import BackwardMap, DiscreteForwardMap, l2_normalize
 from ..ops.fb import fb_loss_terms, orthonormality_loss, sample_z
 from ..utils.tree import soft_update
-from .base import MetaDict
+from .base import MetaDict, ZMetaMixin
 
 Array = jnp.ndarray
 _PREC = jax.lax.Precision.HIGHEST
@@ -72,7 +72,7 @@ class DiscreteFBTrainState(struct.PyTreeNode):
     bw_opt_state: tp.Any
 
 
-class DiscreteFBAgent:
+class DiscreteFBAgent(ZMetaMixin):
     def __init__(self, cfg: DiscreteFBConfig, obs_dim: int, n_actions: int,
                  goal_dim: tp.Optional[int] = None) -> None:
         self.cfg = cfg

@@ -37,7 +37,7 @@ from ..ops.fb import fb_loss_terms, orthonormality_loss, sample_z
 from ..utils.distributions import SquashedNormal, TruncatedNormal
 from ..utils.schedules import schedule
 from ..utils.tree import soft_update
-from .base import MetaDict
+from .base import MetaDict, ZMetaMixin
 
 Array = jnp.ndarray
 _PREC = jax.lax.Precision.HIGHEST
@@ -95,7 +95,7 @@ class FBTrainState(struct.PyTreeNode):
     bw_opt_state: tp.Any
 
 
-class FBDDPGAgent:
+class FBDDPGAgent(ZMetaMixin):
     """Stateless module container; all dynamic data lives in FBTrainState."""
 
     def __init__(self, cfg: FBDDPGConfig, obs_dim: int, action_dim: int,

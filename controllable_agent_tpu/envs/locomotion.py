@@ -1,0 +1,371 @@
+"""Walker / Cheetah / Hopper — planar locomotion on the pure-JAX engine.
+
+Re-creates the reference's locomotion domains and custom task set
+(url_benchmark/custom_dmc_tasks/walker.py, cheetah.py, hopper.py + the
+standard dm_control suite tasks they extend) on top of
+``physics2d``. Geometry approximates the standard DeepMind planar models
+(capsule links, hinge joints, comparable link lengths/gears/limits); the
+dynamics are this framework's own analytic engine, so numerical
+trajectories are NOT MuJoCo-identical — task semantics, observation
+layouts, reward shapes and goal spaces are.
+
+Tasks (reference lines):
+  walker  stand/walk/run (+ flip, walker.py:83-98, speeds 1/8, spin 5)
+  cheetah walk/run + backwards + flips (cheetah.py:71-140, speeds 2/10)
+  hopper  stand/hop/hop_backward + flips (hopper.py:83-121, hop 2)
+
+Observations match the reference layouts:
+  walker: orientations (cos/sin per body, 14) + torso height + qvel  -> 24
+  cheetah: qpos[1:] (8) + qvel (9)                                   -> 17
+  hopper: qpos[1:] (6) + qvel (7) + log1p(touch toe/heel) (2)        -> 15
+
+The TimeStep ``physics`` vector is [q, qd] — everything (rewards, goal
+features) is a pure function of it, so batched relabeling is one vmap.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..ops.tolerance import tolerance
+from . import physics2d as p2d
+from .base import Environment, EnvSpec, StepType, TimeStep
+
+Array = jnp.ndarray
+
+
+# ================================================================ models
+
+def _build_model(parent: tp.List[int], anchor: tp.List[tp.Tuple[float, float]],
+                 com: tp.List[tp.Tuple[float, float]],
+                 mass: tp.List[float], inertia: tp.List[float],
+                 contacts: tp.List[tp.Tuple[int, tp.Tuple[float, float], float]],
+                 gear: tp.List[float], damping: tp.List[float],
+                 limits: tp.List[tp.Tuple[float, float]],
+                 armature: tp.List[float], **kwargs: tp.Any) -> p2d.PlanarModel:
+    lo = [l[0] for l in limits]
+    hi = [l[1] for l in limits]
+    return p2d.PlanarModel(
+        parent=tuple(parent),
+        anchor=jnp.asarray(anchor, jnp.float32),
+        com=jnp.asarray(com, jnp.float32),
+        mass=jnp.asarray(mass, jnp.float32),
+        inertia=jnp.asarray(inertia, jnp.float32),
+        contact_body=tuple(c[0] for c in contacts),
+        contact_point=jnp.asarray([c[1] for c in contacts], jnp.float32),
+        contact_radius=jnp.asarray([c[2] for c in contacts], jnp.float32),
+        gear=jnp.asarray(gear, jnp.float32),
+        damping=jnp.asarray(damping, jnp.float32),
+        limit_lo=jnp.asarray(lo, jnp.float32),
+        limit_hi=jnp.asarray(hi, jnp.float32),
+        armature=jnp.asarray(armature, jnp.float32),
+        **kwargs,
+    )
+
+
+def _deg(lo: float, hi: float) -> tp.Tuple[float, float]:
+    return (float(np.deg2rad(lo)), float(np.deg2rad(hi)))
+
+
+def walker_model() -> p2d.PlanarModel:
+    """7 bodies: torso, R thigh/leg/foot, L thigh/leg/foot. 9 dof."""
+    r_t, l_t = 0.07, 0.6  # torso radius / length (vertical capsule)
+    r_th, l_th = 0.05, 0.45
+    r_lg, l_lg = 0.04, 0.5
+    r_ft, l_ft = 0.05, 0.2  # foot points forward
+    m = [p2d.capsule_mass(r_t, l_t), ]
+    inertia = [p2d.rod_inertia(m[0], l_t, r_t)]
+    for (r, l) in [(r_th, l_th), (r_lg, l_lg), (r_ft, l_ft)] * 2:
+        mm = p2d.capsule_mass(r, l)
+        m.append(mm)
+        inertia.append(p2d.rod_inertia(mm, l, r))
+    hip = (0.0, -l_t / 2)
+    return _build_model(
+        parent=[-1, 0, 1, 2, 0, 4, 5],
+        anchor=[(0, 0), hip, (0.0, -l_th), (0.0, -l_lg),
+                hip, (0.0, -l_th), (0.0, -l_lg)],
+        com=[(0, 0), (0, -l_th / 2), (0, -l_lg / 2), (l_ft / 2, 0)] +
+            [(0, -l_th / 2), (0, -l_lg / 2), (l_ft / 2, 0)],
+        mass=m, inertia=inertia,
+        contacts=[(0, (0.0, l_t / 2), r_t), (0, (0.0, -l_t / 2), r_t),
+                  (3, (0.0, 0.0), r_ft), (3, (l_ft, 0.0), r_ft),
+                  (6, (0.0, 0.0), r_ft), (6, (l_ft, 0.0), r_ft)],
+        gear=[100, 50, 20, 100, 50, 20],
+        damping=[0.1] * 6,
+        limits=[_deg(-20, 100), _deg(-150, 0), _deg(-45, 45)] * 2,
+        armature=[0.01] * 6,
+    )
+
+
+WALKER_INIT_Z = 1.3  # torso-center height with straight legs
+WALKER_STAND_HEIGHT = 1.2
+
+
+def cheetah_model() -> p2d.PlanarModel:
+    """7 bodies: torso (horizontal), back thigh/shin/foot, front
+    thigh/shin/foot. 9 dof."""
+    r_t, l_t = 0.046, 1.0
+    dims = [(0.046, 0.29), (0.046, 0.3), (0.046, 0.188),   # back leg
+            (0.046, 0.266), (0.046, 0.212), (0.046, 0.14)]  # front leg
+    m = [p2d.capsule_mass(r_t, l_t) ]
+    inertia = [p2d.rod_inertia(m[0], l_t, r_t)]
+    for (r, l) in dims:
+        mm = p2d.capsule_mass(r, l)
+        m.append(mm)
+        inertia.append(p2d.rod_inertia(mm, l, r))
+    return _build_model(
+        parent=[-1, 0, 1, 2, 0, 4, 5],
+        anchor=[(0, 0), (-l_t / 2, 0), (0, -dims[0][1]), (0, -dims[1][1]),
+                (l_t / 2, 0), (0, -dims[3][1]), (0, -dims[4][1])],
+        com=[(0, 0)] + [(0, -l / 2) for (_, l) in dims],
+        mass=m, inertia=inertia,
+        contacts=[(0, (-l_t / 2, 0.0), r_t), (0, (l_t / 2, 0.0), r_t),
+                  (3, (0.0, -dims[2][1]), 0.046),
+                  (6, (0.0, -dims[5][1]), 0.046)],
+        gear=[120, 90, 60, 120, 60, 30],
+        damping=[6.0, 4.5, 3.0, 4.5, 3.0, 1.5],
+        limits=[(-0.52, 1.05), (-0.785, 0.785), (-0.4, 0.785),
+                (-1.0, 0.7), (-1.2, 0.87), (-0.5, 0.5)],
+        armature=[0.1] * 6,
+    )
+
+
+CHEETAH_INIT_Z = 0.7
+
+
+def hopper_model() -> p2d.PlanarModel:
+    """5 bodies: torso(root), pelvis, thigh, calf, foot. 7 dof."""
+    dims = [(0.05, 0.3),    # torso (vertical)
+            (0.065, 0.2),   # pelvis
+            (0.04, 0.33),   # thigh
+            (0.035, 0.32),  # calf
+            (0.04, 0.2)]    # foot (forward)
+    m = []
+    inertia = []
+    for (r, l) in dims:
+        mm = p2d.capsule_mass(r, l)
+        m.append(mm)
+        inertia.append(p2d.rod_inertia(mm, l, r))
+    return _build_model(
+        parent=[-1, 0, 1, 2, 3],
+        anchor=[(0, 0), (0.0, -dims[0][1] / 2), (0.0, -dims[1][1]),
+                (0.0, -dims[2][1]), (0.0, -dims[3][1])],
+        com=[(0, 0), (0, -dims[1][1] / 2), (0, -dims[2][1] / 2),
+             (0, -dims[3][1] / 2), (dims[4][1] / 2 - 0.05, 0)],
+        mass=m, inertia=inertia,
+        # toe and heel contacts (touch sensors), plus torso top for falls
+        contacts=[(0, (0.0, dims[0][1] / 2), dims[0][0]),
+                  (4, (dims[4][1] - 0.05, 0.0), dims[4][0]),   # toe
+                  (4, (-0.05, 0.0), dims[4][0])],              # heel
+        gear=[30, 40, 30, 10],
+        damping=[1.0] * 4,
+        limits=[_deg(-30, 30), _deg(-170, 10), _deg(5, 150), _deg(-45, 45)],
+        armature=[0.1] * 4,
+    )
+
+
+HOPPER_INIT_Z = 1.21  # torso-center height
+HOPPER_STAND_HEIGHT = 0.6
+
+_MODELS: tp.Dict[str, tp.Callable[[], p2d.PlanarModel]] = {
+    "walker": walker_model, "cheetah": cheetah_model, "hopper": hopper_model}
+_INIT_Z = {"walker": WALKER_INIT_Z, "cheetah": CHEETAH_INIT_Z,
+           "hopper": HOPPER_INIT_Z}
+_CONTROL = {"walker": (0.025, 10), "cheetah": (0.01, 4), "hopper": (0.02, 8)}
+
+_SPIN_SPEED = 5.0
+_SPEEDS = {
+    ("walker", "stand"): 0.0, ("walker", "walk"): 1.0, ("walker", "run"): 8.0,
+    ("cheetah", "walk"): 2.0, ("cheetah", "run"): 10.0,
+    ("cheetah", "walk_backward"): 2.0, ("cheetah", "run_backward"): 10.0,
+    ("hopper", "stand"): 0.0, ("hopper", "hop"): 2.0,
+    ("hopper", "hop_backward"): 2.0,
+}
+
+TASKS = {
+    "walker": ["stand", "walk", "run", "flip"],
+    "cheetah": ["walk", "run", "walk_backward", "run_backward", "flip",
+                "flip_backward"],
+    "hopper": ["stand", "hop", "hop_backward", "flip", "flip_backward"],
+}
+
+
+# ==================================================== physics observables
+
+def _split_qqd(model: p2d.PlanarModel, physics: Array) -> tp.Tuple[Array, Array]:
+    ndof = model.ndof
+    return physics[..., :ndof], physics[..., ndof:2 * ndof]
+
+
+def walker_features_single(model: p2d.PlanarModel, physics: Array) -> Array:
+    """[x, z, up, vx, vz, am] — the walker goal-feature layout consumed by
+    goals/spaces.py (reference variables: goals.py:66-94, 509-545)."""
+    q, qd = _split_qqd(model, physics)
+    v_com, l_y, _ = p2d.subtree_momentum(model, q, qd)
+    return jnp.stack([q[0], q[1], jnp.cos(q[2]), v_com[0], v_com[1], l_y])
+
+
+class LocoState(struct.PyTreeNode):
+    q: Array
+    qd: Array
+    touch: Array
+    t: Array
+
+
+class LocomotionEnv(Environment):
+    """Planar locomotion env over physics2d; pure reset/step."""
+
+    def __init__(self, domain: str, task: str,
+                 episode_length: int = 1000) -> None:
+        if task not in TASKS[domain]:
+            raise ValueError(f"Unknown {domain} task {task!r}")
+        self.domain = domain
+        self.task = task
+        self.model = _MODELS[domain]()
+        self.init_z = _INIT_Z[domain]
+        self.control_dt, self.n_substeps = _CONTROL[domain]
+        self.episode_length = episode_length
+        ndof = self.model.ndof
+        nj = ndof - 3
+        obs_dim = {"walker": 2 * self.model.nb + 1 + ndof,
+                   "cheetah": (ndof - 1) + ndof,
+                   "hopper": (ndof - 1) + ndof + 2}[domain]
+        self.spec = EnvSpec(obs_dim=obs_dim, action_dim=nj,
+                            physics_dim=2 * ndof, goal_dim=0,
+                            episode_length=episode_length)
+
+    # -- observables -----------------------------------------------------
+    def _obs(self, state: LocoState) -> Array:
+        q, qd = state.q, state.qd
+        if self.domain == "walker":
+            _, angles = p2d.fk(self.model, q)
+            orient = jnp.stack([jnp.cos(angles), jnp.sin(angles)], -1).ravel()
+            return jnp.concatenate([orient, q[1:2], qd])
+        if self.domain == "cheetah":
+            return jnp.concatenate([q[1:], qd])
+        # hopper: qpos[1:] + qvel + log1p(touch toe/heel)
+        touch = jnp.log1p(state.touch[1:3])
+        return jnp.concatenate([q[1:], qd, touch])
+
+    def _physics(self, state: LocoState) -> Array:
+        return jnp.concatenate([state.q, state.qd])
+
+    def goal_features(self, physics: Array) -> Array:
+        """Domain goal-feature extraction, batched over leading dims."""
+        fn = {
+            "walker": lambda p: walker_features_single(self.model, p),
+            "cheetah": lambda p: walker_features_single(self.model, p),
+            "hopper": lambda p: walker_features_single(self.model, p),
+        }[self.domain]
+        if physics.ndim == 1:
+            return fn(physics)
+        flat = physics.reshape(-1, physics.shape[-1])
+        out = jax.vmap(fn)(flat)
+        return out.reshape(physics.shape[:-1] + (out.shape[-1],))
+
+    # -- rewards ---------------------------------------------------------
+    def reward_from_physics(self, physics: Array) -> Array:
+        """Task reward as a pure function of [q, qd] (single sample)."""
+        feats = (walker_features_single(self.model, physics))
+        x, z, up, vx, vz, am = (feats[i] for i in range(6))
+        q, qd = _split_qqd(self.model, physics)
+        domain, task = self.domain, self.task
+        forward = -1.0 if task.endswith("backward") else 1.0
+        base = task.replace("_backward", "")
+        if domain == "walker":
+            standing = tolerance(z, (WALKER_STAND_HEIGHT, float("inf")),
+                                 margin=WALKER_STAND_HEIGHT / 2)
+            upright = (1 + up) / 2
+            stand_reward = (3 * standing + upright) / 4
+            if base == "flip":
+                move = tolerance(forward * am, (_SPIN_SPEED, float("inf")),
+                                 margin=_SPIN_SPEED, value_at_margin=0,
+                                 sigmoid="linear")
+            else:
+                speed = _SPEEDS[(domain, base)]
+                if speed == 0:
+                    return stand_reward
+                move = tolerance(forward * vx, (speed, float("inf")),
+                                 margin=speed / 2, value_at_margin=0.5,
+                                 sigmoid="linear")
+            return stand_reward * (5 * move + 1) / 6
+        if domain == "cheetah":
+            if base == "flip":
+                return tolerance(forward * am, (_SPIN_SPEED, float("inf")),
+                                 margin=_SPIN_SPEED, value_at_margin=0,
+                                 sigmoid="linear")
+            speed = _SPEEDS[(domain, base)]
+            return tolerance(forward * vx, (speed, float("inf")),
+                             margin=speed, value_at_margin=0,
+                             sigmoid="linear")
+        # hopper: height of torso over foot
+        origins, _ = p2d.fk(self.model, q)
+        height = q[1] - origins[-1, 1]
+        standing = tolerance(height, (HOPPER_STAND_HEIGHT, 2.0))
+        if base == "stand":
+            return standing
+        if base == "flip":
+            hopping = tolerance(forward * am, (_SPIN_SPEED, float("inf")),
+                                margin=_SPIN_SPEED, value_at_margin=0,
+                                sigmoid="linear")
+        else:
+            speed = _SPEEDS[(domain, "hop")]
+            hopping = tolerance(forward * vx, (speed, float("inf")),
+                                margin=speed / 2, value_at_margin=0.5,
+                                sigmoid="linear")
+        return standing * hopping
+
+    # -- API -------------------------------------------------------------
+    def reset(self, key: jax.Array) -> tp.Tuple[LocoState, TimeStep]:
+        nj = self.model.ndof - 3
+        k1, k2 = jax.random.split(key)
+        # randomize limited joints within range (reference
+        # randomize_limited_and_rotational_joints via initialize_episode)
+        u = jax.random.uniform(k1, (nj,))
+        qj = self.model.limit_lo + u * (self.model.limit_hi - self.model.limit_lo)
+        q = jnp.concatenate([jnp.asarray([0.0, self.init_z, 0.0]), qj])
+        qd = jnp.zeros(self.model.ndof)
+        state = LocoState(q=q, qd=qd,
+                          touch=jnp.zeros_like(self.model.contact_radius),
+                          t=jnp.zeros((), jnp.int32))
+        ts = TimeStep(
+            step_type=jnp.asarray(StepType.FIRST, jnp.int32),
+            reward=jnp.zeros(()),
+            discount=jnp.ones(()),
+            observation=self._obs(state),
+            action=jnp.zeros(nj),
+            physics=self._physics(state),
+        )
+        return state, ts
+
+    def step(self, state: LocoState, action: Array
+             ) -> tp.Tuple[LocoState, TimeStep]:
+        action = jnp.clip(action, -1.0, 1.0)
+        q, qd, touch = p2d.step(self.model, state.q, state.qd, action,
+                                self.control_dt, self.n_substeps)
+        t = state.t + 1
+        new_state = LocoState(q=q, qd=qd, touch=touch, t=t)
+        physics = self._physics(new_state)
+        reward = self.reward_from_physics(physics)
+        ts = TimeStep(
+            step_type=jnp.where(t >= self.episode_length, StepType.LAST,
+                                StepType.MID).astype(jnp.int32),
+            reward=reward.astype(jnp.float32),
+            discount=jnp.ones(()),
+            observation=self._obs(new_state),
+            action=action,
+            physics=physics,
+        )
+        return new_state, ts
+
+
+def make(name: str, episode_length: int = 1000) -> LocomotionEnv:
+    """'walker_walk' -> LocomotionEnv('walker', 'walk') (reference
+    dmc.make name parsing, url_benchmark/dmc.py:388-419)."""
+    domain, task = name.split("_", 1)
+    return LocomotionEnv(domain, task, episode_length=episode_length)

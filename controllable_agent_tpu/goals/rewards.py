@@ -154,8 +154,9 @@ class EquationReward(BaseReward):
 def _walker_features_fn(physics: np.ndarray) -> np.ndarray:
     """Feature extraction for the walker domain; resolved lazily so the
     equation machinery is importable without the walker env."""
-    from ..envs.walker import goal_features  # deferred: heavy module
-    return np.asarray(goal_features(jnp.asarray(physics)))
+    from ..envs import locomotion  # deferred: heavy module
+    env = locomotion.make("walker_stand")
+    return np.asarray(env.goal_features(jnp.asarray(physics)))
 
 
 class WalkerEquation(EquationReward):

@@ -11,7 +11,10 @@ step. Here the loop building blocks are fused XLA programs:
     train_offline.py:101-134 hot loop.
   * ``make_episode_collector(env, agent)`` — a full vectorized episode
     (lax.scan over time, vmap over env instances) in one device launch,
-    replacing the reference's per-step act() round trip.
+    replacing the reference's per-step act() round trip. Works with any
+    agent through the uniform meta-dict policy interface (policy_act /
+    rollout_update_meta), including per-step meta resampling inside the
+    scan (the reference's update_meta hook, pretrain.py:626).
   * ``OnlineTrainer`` — anytrain-style cycles (url_benchmark/anytrain.py:133-164):
     collect one batch of episodes, commit to the buffer, run matched
     gradient steps.
@@ -26,7 +29,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import replay as replay_lib
-from ..data.episode_batch import EpisodeBatch
 from ..data.replay import ReplayState, SampleConfig
 from ..envs.base import Environment, TimeStep
 
@@ -62,39 +64,51 @@ def make_offline_trainer(agent: tp.Any, sample_cfg: SampleConfig,
     return jax.jit(train_n, donate_argnums=0)
 
 
+def init_meta_batched(agent: tp.Any, state: tp.Any, key: jax.Array,
+                      n: int) -> tp.Dict[str, Array]:
+    """Per-env meta dict [n, ...] via vmapped init_meta."""
+    keys = jax.random.split(key, n)
+    return jax.vmap(lambda k: agent.init_meta(state, k))(keys)
+
+
 def make_episode_collector(env: Environment, agent: tp.Any,
                            num_envs: int,
                            goal_fn: tp.Optional[tp.Callable[[Array], Array]] = None
                            ) -> tp.Callable:
-    """Returns jitted ``collect(train_state, z, keys, step) -> trajectory``.
+    """Returns jitted ``collect(train_state, meta, keys, step, act_key) ->
+    trajectory``.
 
     Runs ``num_envs`` env instances for a full episode under one jit:
-    lax.scan over time, vmap over instances. ``z`` is [num_envs, z_dim];
-    ``keys`` is [num_envs] PRNG keys for resets. The trajectory pytree has
-    leading dims [T+1, num_envs, ...] — including the episode's FIRST dummy
-    transition, matching the replay layout
-    (url_benchmark/in_memory_replay_buffer.py:104-133).
+    lax.scan over time, vmap over instances. ``meta`` is a dict of
+    [num_envs, ...] arrays; it is resampled inside the scan via the
+    agent's rollout_update_meta. The trajectory pytree has leading dims
+    [T+1, num_envs, ...] — including the episode's FIRST dummy transition,
+    matching the replay layout (url_benchmark/in_memory_replay_buffer.py:104-133).
     """
     T = env.spec.episode_length
 
-    def collect(train_state: tp.Any, z: Array, keys: jax.Array,
-                step: Array, act_key: jax.Array) -> tp.Dict[str, Array]:
+    def collect(train_state: tp.Any, meta: tp.Dict[str, Array],
+                keys: jax.Array, step: Array,
+                act_key: jax.Array) -> tp.Dict[str, Array]:
         env_states, first_ts = jax.vmap(env.reset)(keys)
 
-        def scan_body(carry: tp.Tuple[tp.Any, TimeStep, jax.Array], _: None
-                      ) -> tp.Tuple[tp.Tuple[tp.Any, TimeStep, jax.Array], TimeStep]:
-            states, ts, key = carry
-            key, k_act = jax.random.split(key)
-            action = agent._act(train_state, ts.observation, z, step, k_act,
-                                eval_mode=False)
+        def scan_body(carry, t):
+            states, ts, meta, key = carry
+            key, k_act, k_meta = jax.random.split(key, 3)
+            meta = agent.rollout_update_meta(train_state, meta, t, k_meta)
+            action = agent.policy_act(train_state, ts.observation, meta,
+                                      step, k_act, eval_mode=False)
             states, new_ts = jax.vmap(env.step)(states, action)
-            return (states, new_ts, key), new_ts
+            return (states, new_ts, meta, key), (new_ts, meta)
 
-        (_, _, _), traj = jax.lax.scan(
-            scan_body, (env_states, first_ts, act_key), None, length=T)
-        # prepend the FIRST dummy transition
+        (_, _, final_meta, _), (traj, metas) = jax.lax.scan(
+            scan_body, (env_states, first_ts, meta, act_key),
+            jnp.arange(T))
+        # prepend the FIRST dummy transition (and the initial meta)
         full = jax.tree.map(lambda f, t: jnp.concatenate([f[None], t], axis=0),
                             first_ts, traj)
+        full_meta = jax.tree.map(
+            lambda m0, m: jnp.concatenate([m0[None], m], axis=0), meta, metas)
         out = {
             "observation": full.observation,
             "action": (full.action[..., None] if full.action.ndim == 2
@@ -103,6 +117,8 @@ def make_episode_collector(env: Environment, agent: tp.Any,
             "discount": full.discount[..., None],
             "physics": full.physics,
         }
+        for name, value in full_meta.items():
+            out[name] = value
         if goal_fn is not None:
             out["goal"] = goal_fn(full.physics)
         return out
@@ -116,7 +132,7 @@ class OnlineTrainer:
 
     Each cycle: collect ``num_envs`` episodes in one device launch, commit
     them to the replay buffer, then run gradient steps matched to the env
-    steps elapsed (num_envs * T / update_every_steps).
+    steps elapsed (num_envs * T * updates_per_step).
     """
 
     def __init__(self, env: Environment, agent: tp.Any,
@@ -129,16 +145,17 @@ class OnlineTrainer:
         self.num_envs = num_envs
         self.updates_per_step = updates_per_step
         self.collect = make_episode_collector(env, agent, num_envs, goal_fn)
-        self._trainer: tp.Optional[tp.Callable] = None
+        self._trainers: tp.Dict[int, tp.Callable] = {}
         self.global_step = 0
         self.global_episode = 0
 
     def run_cycle(self, train_state: tp.Any, key: jax.Array
                   ) -> tp.Tuple[tp.Any, tp.Dict[str, float]]:
-        k_z, k_reset, k_act, k_train = jax.random.split(key, 4)
-        z = self.agent.sample_z(k_z, self.num_envs)
+        k_meta, k_reset, k_act, k_train = jax.random.split(key, 4)
+        meta = init_meta_batched(self.agent, train_state, k_meta,
+                                 self.num_envs)
         reset_keys = jax.random.split(k_reset, self.num_envs)
-        traj = self.collect(train_state, z, reset_keys,
+        traj = self.collect(train_state, meta, reset_keys,
                             jnp.asarray(self.global_step), k_act)
         # commit each env's episode ([T+1, num_envs, ...] -> per-env dicts)
         T = self.env.spec.episode_length
@@ -152,11 +169,14 @@ class OnlineTrainer:
         n_updates = int(T * self.num_envs * self.updates_per_step)
         metrics: tp.Dict[str, float] = {}
         if n_updates > 0 and len(self.buffer) > 0:
-            if self._trainer is None:
-                self._trainer = make_offline_trainer(
+            if n_updates not in self._trainers:
+                self._trainers[n_updates] = make_offline_trainer(
                     self.agent, self.buffer.cfg, self.agent.cfg.batch_size,
                     steps_per_call=n_updates)
-            train_state, m = self._trainer(train_state, self.buffer.state,
-                                           k_train)
+            train_state, m = self._trainers[n_updates](
+                train_state, self.buffer.state, k_train)
             metrics = {k: float(v) for k, v in m.items()}
+        # per-episode train reward (the reference logs episode_reward per
+        # collected episode, anytrain.py:105-117)
+        metrics["episode_reward"] = float(traj_np["reward"][1:].sum(0).mean())
         return train_state, metrics

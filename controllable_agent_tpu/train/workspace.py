@@ -133,41 +133,48 @@ class Workspace:
             self.load_checkpoint(self.work_dir / "models" / "latest")
 
     # -- eval -----------------------------------------------------------
-    def _init_eval_meta(self) -> Array:
-        """Eval-time z selection (reference _init_eval_meta,
-        pretrain.py:147-206)."""
+    def _init_eval_meta(self) -> tp.Dict[str, Array]:
+        """Eval-time meta selection (reference _init_eval_meta,
+        pretrain.py:147-206). Returns an (unbatched) meta dict; z-style
+        agents get {meta_key: z}, skill agents a sampled skill, plain DDPG
+        an empty dict."""
         agent, state = self.agent, self.agent_state
+        meta_key = getattr(agent, "meta_key", None)
+        can_goal = hasattr(agent, "get_goal_meta") and meta_key is not None
+        can_infer = (hasattr(agent, "infer_meta_from_obs_and_rewards")
+                     and meta_key is not None)
         # gridworld: goal-obs path
-        if hasattr(self.env, "get_goal_obs"):
+        if hasattr(self.env, "get_goal_obs") and can_goal:
             env_state, _ = self.env.reset(self.keys.next())
-            return agent.get_goal_meta(state, self.env.get_goal_obs(env_state))
+            z = agent.get_goal_meta(state, self.env.get_goal_obs(env_state))
+            return {meta_key: z}
         # custom reward with a registered goal
         if self.cfg.custom_reward is not None:
             reward = get_reward_function(self.cfg.custom_reward, self.cfg.seed)
-            if self.cfg.goal_space is not None:
+            if self.cfg.goal_space is not None and can_goal:
                 try:
                     g = reward.get_goal(self.cfg.goal_space)
-                    return agent.get_goal_meta(state, jnp.asarray(g))
+                    return {meta_key: agent.get_goal_meta(state, jnp.asarray(g))}
                 except (NotImplementedError, ValueError):
                     pass
-            if len(self.buffer) > 0:
-                return self._infer_meta_from_replay(reward)
+            if len(self.buffer) > 0 and can_infer:
+                return {meta_key: self._infer_meta_from_replay(reward)}
         # registered goal for (goal_space, task)
-        if self.cfg.goal_space is not None:
+        if self.cfg.goal_space is not None and can_goal:
             space_goals = goals.funcs.get(self.cfg.goal_space, {})
             if self.cfg.task in space_goals:
                 g = space_goals[self.cfg.task]()
-                return agent.get_goal_meta(state, jnp.asarray(g))
+                return {meta_key: agent.get_goal_meta(state, jnp.asarray(g))}
         # fallback: reward regression over replay samples
-        if len(self.buffer) > 0:
-            return self._infer_meta_from_replay(None)
-        return jnp.asarray(agent.init_meta(state, self.keys.next())["z"])
+        if len(self.buffer) > 0 and can_infer:
+            return {meta_key: self._infer_meta_from_replay(None)}
+        return dict(agent.init_meta(state, self.keys.next()))
 
     def _infer_meta_from_replay(self, custom_reward: tp.Optional[tp.Any]) -> Array:
         """z = rᵀB/N over num_inference_steps relabeled samples
         (reference pretrain.py:166-184)."""
         agent, state = self.agent, self.agent_state
-        n = agent.cfg.num_inference_steps
+        n = getattr(agent.cfg, "num_inference_steps", 5120)
         batch = self.buffer.sample(
             self.keys.next(), n,
             custom_reward=(custom_reward.from_physics if custom_reward else None))
@@ -180,15 +187,17 @@ class Workspace:
         T = env.spec.episode_length
         discrete = env.spec.discrete_actions
 
-        def one_episode(state: tp.Any, z: Array, key: jax.Array
-                        ) -> tp.Tuple[Array, Array, Array]:
+        def one_episode(state: tp.Any, meta: tp.Dict[str, Array],
+                        key: jax.Array) -> tp.Tuple[Array, Array, Array]:
             k_reset, _ = jax.random.split(key)
             env_state, ts = env.reset(k_reset)
+            meta_b = jax.tree.map(lambda x: x[None], meta)
 
             def body(carry, _):
                 env_state, ts, total = carry
-                action = agent._act(state, ts.observation[None], z[None],
-                                    jnp.asarray(10**9), key, eval_mode=True)
+                action = agent.policy_act(state, ts.observation[None],
+                                          meta_b, jnp.asarray(10**9), key,
+                                          eval_mode=True)
                 a = action[0]
                 env_state, ts = env.step(env_state, a)
                 return (env_state, ts, total + ts.reward), ts.physics
@@ -197,17 +206,19 @@ class Workspace:
                 body, (env_state, ts, jnp.zeros(())), None, length=T)
             return total, physics, ts.observation
 
-        def eval_all(state_: tp.Any, z: Array, keys: jax.Array):
-            return jax.vmap(one_episode, in_axes=(None, None, 0))(state_, z, keys)
+        def eval_all(state_: tp.Any, meta: tp.Dict[str, Array],
+                     keys: jax.Array):
+            return jax.vmap(one_episode, in_axes=(None, None, 0))(
+                state_, meta, keys)
 
         return jax.jit(eval_all)
 
     def evaluate(self) -> tp.Dict[str, float]:
         if self._eval_fn is None:
             self._eval_fn = self._make_eval_fn()
-        z = self._init_eval_meta()
+        meta = self._init_eval_meta()
         keys = jax.random.split(self.keys.next(), self.cfg.num_eval_episodes)
-        totals, physics, _ = self._eval_fn(self.agent_state, z, keys)
+        totals, physics, _ = self._eval_fn(self.agent_state, meta, keys)
         totals = np.asarray(totals)
         if self.cfg.custom_reward is not None:
             reward = get_reward_function(self.cfg.custom_reward, self.cfg.seed)
@@ -225,6 +236,72 @@ class Workspace:
             for k, v in metrics.items():
                 log(k, v)
         return metrics
+
+    def eval_maze_goals(self) -> tp.Dict[str, float]:
+        """20-goal maze sweep: per-goal reward and distance
+        (reference eval_maze_goals, pretrain.py:339-372)."""
+        from ..goals.rewards import MazeMultiGoal
+        if self._eval_fn is None:
+            self._eval_fn = self._make_eval_fn()
+        mg = MazeMultiGoal()
+        rewards, distances = [], []
+        meta_key = getattr(self.agent, "meta_key", "z")
+        for goal in mg.goals:
+            z = self.agent.get_goal_meta(self.agent_state, jnp.asarray(goal))
+            keys = jax.random.split(self.keys.next(), 2)
+            _, physics, _ = self._eval_fn(self.agent_state, {meta_key: z},
+                                          keys)
+            achieved = np.asarray(physics)[..., :2]  # [episodes, T, 2]
+            r, d = mg.from_goal(achieved[:, -1], goal[None])
+            rewards.append(float(np.mean(r)))
+            distances.append(float(np.mean(d)))
+        metrics = {
+            "reward": float(np.mean(rewards)),
+            "distance": float(np.mean(distances)),
+            "step": float(self.global_step),
+        }
+        with self.logger.log_and_dump_ctx(self.global_step, ty="eval") as log:
+            for k, v in metrics.items():
+                log(k, v)
+        return metrics
+
+    def finalize(self) -> tp.Dict[str, tp.List[float]]:
+        """Final multi-task test battery: re-eval the agent on every task
+        of the domain with relabeled rewards, writing test_rewards.json
+        (reference finalize, pretrain.py:496-533)."""
+        from ..envs import locomotion
+        domain_tasks = {
+            "cheetah": ["walk", "walk_backward", "run", "run_backward"],
+            "quadruped": ["stand", "walk", "run", "jump"],
+            "walker": ["stand", "walk", "run", "flip"],
+            "hopper": ["stand", "hop", "hop_backward", "flip"],
+        }
+        if self.domain not in domain_tasks:
+            return {}
+        if self._eval_fn is None:
+            self._eval_fn = self._make_eval_fn()
+        eval_hist = self.eval_rewards_history
+        rewards: tp.Dict[str, tp.List[float]] = {}
+        for name in domain_tasks[self.domain]:
+            task = f"{self.domain}_{name}"
+            if name not in locomotion.TASKS.get(self.domain, []):
+                continue
+            reward_fn = get_reward_function(task, self.cfg.seed)
+            meta_key = getattr(self.agent, "meta_key", "z")
+            z = self._infer_meta_from_replay(reward_fn)
+            keys = jax.random.split(self.keys.next(),
+                                    self.cfg.num_eval_episodes)
+            _, physics, _ = self._eval_fn(self.agent_state, {meta_key: z},
+                                          keys)
+            phys = np.asarray(physics)
+            r = reward_fn.from_physics(phys.reshape(-1, phys.shape[-1]))
+            per_episode = np.asarray(r).reshape(phys.shape[0],
+                                                phys.shape[1]).sum(1)
+            rewards[task] = [float(x) for x in per_episode]
+        self.eval_rewards_history = eval_hist
+        import json
+        (self.work_dir / "test_rewards.json").write_text(json.dumps(rewards))
+        return rewards
 
     # -- checkpointing ---------------------------------------------------
     def save_checkpoint(self, path: tp.Optional[Path] = None,

@@ -42,18 +42,21 @@ def test_offline_trainer_scans_multiple_steps() -> None:
 
 
 def test_episode_collector_shapes() -> None:
+    from controllable_agent_tpu.train.loops import init_meta_batched
     env = PointMassMaze("reach_top_left", episode_length=10)
     agent = FBDDPGAgent(FBDDPGConfig(**_SMALL), obs_dim=4, action_dim=2)
     state = agent.init(jax.random.key(0))
     collect = make_episode_collector(env, agent, num_envs=3,
                                      goal_fn=lambda p: p[..., :2])
-    z = agent.sample_z(jax.random.key(1), 3)
+    meta = init_meta_batched(agent, state, jax.random.key(1), 3)
+    assert meta["z"].shape == (3, 8)
     keys = jax.random.split(jax.random.key(2), 3)
-    traj = collect(state, z, keys, jnp.asarray(0), jax.random.key(3))
+    traj = collect(state, meta, keys, jnp.asarray(0), jax.random.key(3))
     assert traj["observation"].shape == (11, 3, 4)
     assert traj["action"].shape == (11, 3, 2)
     assert traj["reward"].shape == (11, 3, 1)
     assert traj["goal"].shape == (11, 3, 2)
+    assert traj["z"].shape == (11, 3, 8)  # per-step meta stored for replay
     # first row is the dummy FIRST transition (zero action/reward)
     np.testing.assert_allclose(np.asarray(traj["action"][0]), 0.0)
 
@@ -102,12 +105,30 @@ def test_dp_trainer_on_mesh_matches_single_device() -> None:
 
 def test_discrete_collector_action_dtype() -> None:
     from controllable_agent_tpu.envs import build_gridworld_task
+    from controllable_agent_tpu.train.loops import init_meta_batched
     env = build_gridworld_task("obstacle", max_episode_length=8)
     agent = DiscreteFBAgent(DiscreteFBConfig(**_SMALL), obs_dim=2, n_actions=5)
     state = agent.init(jax.random.key(0))
     collect = make_episode_collector(env, agent, num_envs=2)
-    z = agent.sample_z(jax.random.key(1), 2)
+    meta = init_meta_batched(agent, state, jax.random.key(1), 2)
     keys = jax.random.split(jax.random.key(2), 2)
-    traj = collect(state, z, keys, jnp.asarray(10**6), jax.random.key(3))
+    traj = collect(state, meta, keys, jnp.asarray(10**6), jax.random.key(3))
     assert traj["action"].shape == (9, 2, 1)
     assert traj["observation"].shape == (9, 2, 2)
+
+
+def test_collector_with_ddpg_meta_free_agent() -> None:
+    """Agents without task vectors (plain DDPG) flow through the same
+    collector via the meta-dict interface."""
+    from controllable_agent_tpu.agents import DDPGAgent, DDPGConfig
+    from controllable_agent_tpu.train.loops import init_meta_batched
+    env = PointMassMaze("reach_top_left", episode_length=6)
+    agent = DDPGAgent(DDPGConfig(hidden_dim=32, feature_dim=16,
+                                 batch_size=8), obs_dim=4, action_dim=2)
+    state = agent.init(jax.random.key(0))
+    collect = make_episode_collector(env, agent, num_envs=2)
+    meta = init_meta_batched(agent, state, jax.random.key(1), 2)
+    assert meta == {}
+    keys = jax.random.split(jax.random.key(2), 2)
+    traj = collect(state, meta, keys, jnp.asarray(10**6), jax.random.key(3))
+    assert traj["action"].shape == (7, 2, 2)
