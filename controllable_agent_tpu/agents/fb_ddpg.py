@@ -40,7 +40,11 @@ from ..utils.tree import soft_update
 from .base import MetaDict, ZMetaMixin
 
 Array = jnp.ndarray
-_PREC = jax.lax.Precision.HIGHEST
+# DEFAULT precision: on this TPU backend HIGHEST forces a multi-pass
+# f32 emulation that dominates the step (~4x slower end-to-end); the
+# f32 casts at the loss boundaries already pin the accumulation
+# numerics (loss curves match HIGHEST to 4 decimals).
+_PREC = jax.lax.Precision.DEFAULT
 
 
 @dataclasses.dataclass(frozen=True)
@@ -269,6 +273,8 @@ class FBDDPGAgent(ZMetaMixin):
         target_f1, target_f2 = self.forward_net.apply(
             state.target_forward_params, next_obs, z, next_action)
         target_b = self.backward_net.apply(state.target_backward_params, next_goal)
+        target_f1, target_f2, target_b = (
+            x.astype(jnp.float32) for x in (target_f1, target_f2, target_b))
         target_m1 = jnp.einsum("sd,td->st", target_f1, target_b, precision=_PREC)
         target_m2 = jnp.einsum("sd,td->st", target_f2, target_b, precision=_PREC)
         target_m = jax.lax.stop_gradient(jnp.minimum(target_m1, target_m2))

@@ -28,7 +28,11 @@ from ..ops.pbe import RMSState
 from .exploration import IntrinsicConfig, IntrinsicDDPGAgent
 
 Array = jnp.ndarray
-_PREC = jax.lax.Precision.HIGHEST
+# DEFAULT precision: on this TPU backend HIGHEST forces a multi-pass
+# f32 emulation that dominates the step (~4x slower end-to-end); the
+# f32 casts at the loss boundaries already pin the accumulation
+# numerics (loss curves match HIGHEST to 4 decimals).
+_PREC = jax.lax.Precision.DEFAULT
 
 
 @dataclasses.dataclass(frozen=True)

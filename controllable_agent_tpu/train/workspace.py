@@ -40,9 +40,13 @@ Array = jnp.ndarray
 
 @dataclasses.dataclass(frozen=True)
 class WorkspaceConfig:
-    """Mirror of the reference workspace Config (url_benchmark/pretrain.py:51-106)."""
+    """Mirror of the reference workspace Config (url_benchmark/pretrain.py:51-106,
+    train_online.py:24-55)."""
 
     agent_name: str = "fb_ddpg"
+    num_rollout_episodes: int = 10
+    num_agent_updates: int = 50
+    update_replay_buffer: bool = True
     task: str = "point_mass_maze_reach_top_left"
     seed: int = 1
     discount: float = 0.98
@@ -389,6 +393,56 @@ class OnlineWorkspace(Workspace):
                 log("step", self.global_step)
                 log("episode", self.global_episode)
                 log("buffer_size", len(self.buffer))
+                for k, v in metrics.items():
+                    log(k, float(v))
+            if self.global_step % cfg.eval_every_steps < steps_per_cycle:
+                self.evaluate()
+            if self.global_step % cfg.checkpoint_every < steps_per_cycle:
+                self.save_checkpoint()
+        self.save_checkpoint()
+
+
+class TrainOnlineWorkspace(Workspace):
+    """Episode-granular online loop: roll out num_rollout_episodes, then
+    run num_agent_updates gradient steps (reference train_online.Workspace,
+    url_benchmark/train_online.py:59-154). ``update_replay_buffer=False``
+    trains from a frozen pre-loaded buffer while still evaluating online
+    (reference :65-68)."""
+
+    def train(self) -> None:
+        from .loops import OnlineTrainer, make_offline_trainer
+        cfg = self.cfg
+        T = self.env.spec.episode_length
+        collector = OnlineTrainer(
+            self.env, self.agent, self.buffer,
+            num_envs=cfg.num_rollout_episodes, goal_fn=self.goal_fn,
+            updates_per_step=0.0)  # collection only; updates run below
+        trainer = make_offline_trainer(
+            self.agent, self.buffer.cfg, self.agent.cfg.batch_size,
+            steps_per_call=cfg.num_agent_updates)
+        collector.global_step = self.global_step
+        collector.global_episode = self.global_episode
+        steps_per_cycle = T * cfg.num_rollout_episodes
+        while self.global_step < cfg.num_train_frames:
+            if cfg.update_replay_buffer:
+                self.agent_state, metrics = collector.run_cycle(
+                    self.agent_state, self.keys.next())
+                self.global_step = collector.global_step
+                self.global_episode = collector.global_episode
+            else:
+                metrics = {}
+                self.global_step += steps_per_cycle
+                collector.global_step = self.global_step
+            if len(self.buffer) > 0:
+                self.agent_state, m = trainer(
+                    self.agent_state, self.buffer.state, self.keys.next())
+                metrics.update({k: float(v) for k, v in m.items()})
+            elapsed, total = self.timer.reset()
+            with self.logger.log_and_dump_ctx(self.global_step, "train") as log:
+                log("fps", steps_per_cycle / max(elapsed, 1e-9))
+                log("total_time", total)
+                log("step", self.global_step)
+                log("episode", self.global_episode)
                 for k, v in metrics.items():
                     log(k, float(v))
             if self.global_step % cfg.eval_every_steps < steps_per_cycle:

@@ -103,6 +103,23 @@ def test_dp_trainer_on_mesh_matches_single_device() -> None:
     assert leaf.sharding.is_fully_replicated
 
 
+def test_dp_offline_trainer_fused() -> None:
+    """DP trainer with sampling fused into the scanned update over the
+    8-device virtual mesh."""
+    from controllable_agent_tpu.parallel import make_dp_offline_trainer
+    agent = FBDDPGAgent(FBDDPGConfig(**_SMALL), obs_dim=4, action_dim=2)
+    buf = _filled_buffer()
+    mesh = make_mesh(8)
+    trainer = make_dp_offline_trainer(agent, buf.cfg, 32, steps_per_call=4,
+                                      mesh=mesh)
+    state = agent.init(jax.random.key(0))
+    with mesh:
+        state, metrics = trainer(state, buf.state, jax.random.key(1))
+    assert int(state.step) == 4
+    assert np.isfinite(float(metrics["fb_loss"]))
+    assert jax.tree.leaves(state.forward_params)[0].sharding.is_fully_replicated
+
+
 def test_discrete_collector_action_dtype() -> None:
     from controllable_agent_tpu.envs import build_gridworld_task
     from controllable_agent_tpu.train.loops import init_meta_batched
