@@ -85,6 +85,11 @@ class FBDDPGConfig:
     add_trunk: bool = False
     num_expl_steps: int = 0
     compute_dtype: str = "float32"  # "bfloat16" runs net matmuls on the MXU in bf16
+    # Pallas fused loss: tiles the batchxbatch measure matrices through
+    # VMEM instead of materializing them in HBM (ops/pallas_fb.py).
+    # Worthwhile at batch >= 2048; metrics that need the full M matrix
+    # (target_M mean, orth_linf/orth_l2) are skipped in this mode.
+    use_pallas_loss: bool = False
 
 
 class FBTrainState(struct.PyTreeNode):
@@ -274,7 +279,13 @@ class FBDDPGAgent(ZMetaMixin):
             state.target_forward_params, next_obs, z, next_action)
         target_b = self.backward_net.apply(state.target_backward_params, next_goal)
         target_f1, target_f2, target_b = (
-            x.astype(jnp.float32) for x in (target_f1, target_f2, target_b))
+            jax.lax.stop_gradient(x.astype(jnp.float32))
+            for x in (target_f1, target_f2, target_b))
+
+        if cfg.use_pallas_loss:
+            return self._fb_loss_pallas(fw_params, bw_params, state, batch, z,
+                                        next_goal, target_f1, target_f2,
+                                        target_b)
         target_m1 = jnp.einsum("sd,td->st", target_f1, target_b, precision=_PREC)
         target_m2 = jnp.einsum("sd,td->st", target_f2, target_b, precision=_PREC)
         target_m = jax.lax.stop_gradient(jnp.minimum(target_m1, target_m2))
@@ -321,6 +332,40 @@ class FBDDPGAgent(ZMetaMixin):
                     - jnp.eye(b.shape[1]))
         metrics["orth_linf"] = jnp.max(jnp.abs(eye_diff))
         metrics["orth_l2"] = jnp.linalg.norm(eye_diff) / math.sqrt(b.shape[1])
+        return fb_loss, metrics
+
+    def _fb_loss_pallas(self, fw_params: tp.Any, bw_params: tp.Any,
+                        state: FBTrainState, batch: EpisodeBatch, z: Array,
+                        next_goal: Array, target_f1: Array, target_f2: Array,
+                        target_b: Array) -> tp.Tuple[Array, tp.Dict[str, Array]]:
+        """FB + orthonormality losses through the fused Pallas kernel
+        (ops/pallas_fb.py); same math as the XLA path minus the
+        full-matrix diagnostics."""
+        from ..ops.pallas_fb import fb_loss_terms_fused
+        cfg = self.cfg
+        n = batch.obs.shape[0]
+        f1, f2 = self.forward_net.apply(fw_params, batch.obs, z, batch.action)
+        b = self.backward_net.apply(bw_params, next_goal)
+        off_sum, diag_sum, cov_off_sum, cov_diag_sum = fb_loss_terms_fused(
+            f1.astype(jnp.float32), f2.astype(jnp.float32),
+            b.astype(jnp.float32), target_f1, target_f2, target_b,
+            batch.discount)
+        denom = n * (n - 1)
+        fb_offdiag = 0.5 * off_sum / denom
+        fb_diag = -diag_sum / n
+        fb_loss = fb_offdiag + fb_diag
+        orth_diag = -2.0 * cov_diag_sum / n
+        orth_offdiag = cov_off_sum / denom
+        orth_loss = orth_offdiag + orth_diag
+        fb_loss = fb_loss + cfg.ortho_coef * orth_loss
+        metrics = {
+            "F1": f1.mean(), "B": b.mean(),
+            "B_norm": jnp.linalg.norm(b, axis=-1).mean(),
+            "z_norm": jnp.linalg.norm(z, axis=-1).mean(),
+            "fb_diag": fb_diag, "fb_offdiag": fb_offdiag,
+            "orth_loss": orth_loss, "orth_loss_diag": orth_diag,
+            "orth_loss_offdiag": orth_offdiag, "fb_loss": fb_loss,
+        }
         return fb_loss, metrics
 
     def _actor_loss(self, actor_params: tp.Any, fw_params: tp.Any,

@@ -87,6 +87,11 @@ def add_episode(state: ReplayState, episode: tp.Dict[str, Array],
     for name, values in episode.items():
         dst = state.storage[name]
         pad = dst.shape[1] - values.shape[0]
+        if pad < 0:
+            raise ValueError(
+                f"episode for {name!r} has {values.shape[0]} steps but the "
+                f"buffer was sized for {dst.shape[1]} (max_episode_length="
+                f"{state.max_episode_length})")
         if pad:
             values = jnp.concatenate(
                 [values, jnp.zeros((pad,) + values.shape[1:], dst.dtype)], axis=0)

@@ -345,7 +345,7 @@ class LocomotionEnv(Environment):
 
     def step(self, state: LocoState, action: Array
              ) -> tp.Tuple[LocoState, TimeStep]:
-        action = jnp.clip(action, -1.0, 1.0)
+        action = jnp.clip(action.astype(jnp.float32), -1.0, 1.0)
         q, qd, touch = p2d.step(self.model, state.q, state.qd, action,
                                 self.control_dt, self.n_substeps)
         t = state.t + 1

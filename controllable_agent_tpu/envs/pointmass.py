@@ -129,7 +129,7 @@ class PointMassMaze(Environment):
 
     def step(self, state: PointMassState, action: Array
              ) -> tp.Tuple[PointMassState, TimeStep]:
-        action = jnp.clip(action, -1.0, 1.0)
+        action = jnp.clip(action.astype(jnp.float32), -1.0, 1.0)
         dt = _CONTROL_DT / _N_SUBSTEPS
         force = _GEAR * action
 
