@@ -200,6 +200,9 @@ def get_reward_function(name: str, seed: tp.Optional[int] = None) -> BaseReward:
     """String -> reward factory (reference goals.py:243-254)."""
     if name == "maze_multi_goal":
         return MazeMultiGoal(seed)
+    if name.startswith("walker_yoga_"):
+        from .yoga import WalkerYogaReward
+        return WalkerYogaReward(name[len("walker_yoga_"):], seed)
     if name == "walker_random_equation":
         return WalkerRandomReward(seed)
     if name.startswith("point_mass_maze_"):

@@ -67,7 +67,9 @@ def _fwd_kernel(f1_ref, f2_ref, b_ref, tf1_ref, tf2_ref, tb_ref, disc_ref,
 
     @pl.when(jnp.logical_and(i == 0, j == 0))
     def _init():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        # SMEM stores must be scalar on TPU
+        out_ref[0, 0] = 0.0
+        out_ref[0, 1] = 0.0
 
     m1, m2, resid1, resid2 = _tile_matrices(
         f1_ref[...], f2_ref[...], b_ref[...], tf1_ref[...], tf2_ref[...],
@@ -94,7 +96,8 @@ def _cov_kernel(bi_tile_ref, bj_tile_ref, n_ref, out_ref):
 
     @pl.when(jnp.logical_and(i == 0, j == 0))
     def _init():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        out_ref[0, 0] = 0.0
+        out_ref[0, 1] = 0.0
 
     cov = jnp.dot(bi_tile_ref[...], bj_tile_ref[...].T,
                   preferred_element_type=jnp.float32)

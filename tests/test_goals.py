@@ -116,3 +116,29 @@ def test_tolerance_matches_dm_control_semantics() -> None:
 def test_unknown_reward_raises() -> None:
     with pytest.raises(ValueError):
         get_reward_function("no_such_task")
+
+
+def test_walker_yoga_reward() -> None:
+    from controllable_agent_tpu.goals.yoga import (
+        WalkerYogaReward,
+        get_walkeryoga_goals,
+        oracle_distance,
+    )
+    goals = get_walkeryoga_goals()
+    assert len(goals) == 12
+    reward = get_reward_function("walker_yoga_kneel")
+    assert isinstance(reward, WalkerYogaReward)
+    # reward is 0 at the exact pose, negative away from it
+    pose = np.concatenate([goals["kneel"], np.zeros(9, np.float32)])
+    assert float(reward.from_physics(pose)) == 0.0
+    far = pose.copy()
+    far[1] += 1.0
+    assert float(reward.from_physics(far)) < -0.99
+    # legs are interchangeable
+    q = goals["legs_up"]
+    q_swapped = np.concatenate([q[:3], q[6:9], q[3:6]]).astype(np.float32)
+    assert float(oracle_distance(jnp.asarray(q_swapped),
+                                 jnp.asarray(q))) < 1e-5
+    # batched
+    batch = np.tile(pose, (4, 1))
+    assert reward.from_physics(batch).shape == (4,)
