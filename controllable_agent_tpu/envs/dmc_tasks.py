@@ -20,12 +20,16 @@ from . import locomotion
 
 
 class TaskReward(BaseReward):
-    """reward_from_physics of a named locomotion task, batched."""
+    """reward_from_physics of a named locomotion/quadruped task, batched."""
 
     def __init__(self, name: str, seed: tp.Optional[int] = None) -> None:
         super().__init__(seed)
         self.name = name
-        self._env = locomotion.make(name)
+        if name.startswith("quadruped_"):
+            from . import quadruped
+            self._env = quadruped.make(name)
+        else:
+            self._env = locomotion.make(name)
         self._batched = jax.jit(jax.vmap(self._env.reward_from_physics))
 
     def get_goal(self, goal_space: str) -> np.ndarray:

@@ -113,6 +113,76 @@ class MazeMultiGoal(BaseReward):
         return np.asarray(reward), np.asarray(distance)
 
 
+def _quad_features(physics: np.ndarray) -> np.ndarray:
+    from ..envs import quadruped
+    env = quadruped.make("quadruped_stand")
+    return np.asarray(env.goal_features(jnp.asarray(physics)))
+
+
+class QuadrupedReward(BaseReward):
+    """7 random mixed reward cases over quadruped (position, speed,
+    quadrant) — reference QuadrupedReward, goals.py:289-323. Operates on
+    the quadruped feature layout [up, 0, x, y, z, vx, vy, vz]."""
+
+    NUM_CASES = 7
+
+    def __init__(self, seed: tp.Optional[int] = None) -> None:
+        super().__init__(seed)
+        self.x = self._rng.uniform(-5, 5, size=2)
+        self.vx = self._rng.uniform(-3, 3, size=2)
+        self.quadrant = self._rng.choice([1, -1], size=2, replace=True)
+        self.speed = float(np.linalg.norm(self.vx))
+        self._case = self._rng.randint(self.NUM_CASES)
+
+    def from_physics(self, physics: np.ndarray) -> np.ndarray:
+        feats = _quad_features(np.atleast_2d(np.asarray(physics)))
+        up = np.maximum(feats[..., 0], 0.0)
+        x = feats[..., 2:4]
+        vx = feats[..., 5:7]
+        speed = np.linalg.norm(vx, axis=-1)
+        inv = lambda d: 1.0 / (1.0 + np.abs(d))  # noqa: E731
+        in_quadrant = np.all(x * self.quadrant > self.x, axis=-1)
+        case = self._case
+        if case == 0:
+            out = up * inv(speed - self.speed)
+        elif case == 1:
+            out = up * inv(np.linalg.norm(x - self.x, axis=-1))
+        elif case == 2:
+            out = up * in_quadrant.astype(np.float32)
+        elif case == 3:
+            out = up * in_quadrant * inv(self.speed - speed)
+        elif case == 4:
+            out = up * inv(np.linalg.norm(self.vx - vx, axis=-1) / np.sqrt(2))
+        elif case == 5:
+            out = up * in_quadrant * (speed > self.speed)
+        else:
+            out = up * (speed > self.speed)
+        out = np.asarray(out, np.float32)
+        return out[0] if np.asarray(physics).ndim == 1 else out
+
+
+class QuadrupedPosReward(BaseReward):
+    """Deterministic positional reward (reference goals.py:326-345)."""
+
+    def __init__(self, seed: tp.Optional[int] = None) -> None:
+        super().__init__(seed)
+        self.x = np.array([2.0, 2.0, 0.8], np.float32)
+
+    def get_goal(self, goal_space: str) -> np.ndarray:
+        if goal_space != "quad_pos_speed":
+            raise ValueError(
+                f"Goal space {goal_space} not supported with this reward")
+        return np.concatenate([[1.0], self.x, [0.0] * 3]).astype(np.float32)
+
+    def from_physics(self, physics: np.ndarray) -> np.ndarray:
+        feats = _quad_features(np.atleast_2d(np.asarray(physics)))
+        up = (feats[..., 0] + 1.0) / 2.0
+        pos = feats[..., 2:5]
+        dist = np.linalg.norm(pos - self.x, axis=-1)
+        out = (0.5 * up + 0.5 / (1.0 + np.abs(dist))).astype(np.float32)
+        return out[0] if np.asarray(physics).ndim == 1 else out
+
+
 class EquationReward(BaseReward):
     """User-supplied Python expression over named physics features,
     tokenizer-whitelisted then eval'd (reference WalkerEquation,
@@ -200,6 +270,10 @@ def get_reward_function(name: str, seed: tp.Optional[int] = None) -> BaseReward:
     """String -> reward factory (reference goals.py:243-254)."""
     if name == "maze_multi_goal":
         return MazeMultiGoal(seed)
+    if name == "quadruped_mix":
+        return QuadrupedReward(seed)
+    if name == "quadruped_position":
+        return QuadrupedPosReward(seed)
     if name.startswith("walker_yoga_"):
         from .yoga import WalkerYogaReward
         return WalkerYogaReward(name[len("walker_yoga_"):], seed)

@@ -81,7 +81,10 @@ def make_env(task: str, episode_length: tp.Optional[int] = None) -> Environment:
         return PointMassMaze(sub if sub in _PMM_TASKS else "reach_top_left",
                              episode_length=episode_length or 1000)
     domain = task.split("_", 1)[0]
-    if domain in ("walker", "cheetah", "hopper", "quadruped"):
+    if domain == "quadruped":
+        from ..envs import quadruped
+        return quadruped.make(task, episode_length=episode_length or 1000)
+    if domain in ("walker", "cheetah", "hopper"):
         from ..envs import locomotion
         return locomotion.make(task, episode_length=episode_length or 1000)
     raise ValueError(f"Unknown task {task!r}")
@@ -286,9 +289,14 @@ class Workspace:
             self._eval_fn = self._make_eval_fn()
         eval_hist = self.eval_rewards_history
         rewards: tp.Dict[str, tp.List[float]] = {}
+        if self.domain == "quadruped":
+            from ..envs import quadruped as _quad
+            known = _quad.TASKS
+        else:
+            known = locomotion.TASKS.get(self.domain, [])
         for name in domain_tasks[self.domain]:
             task = f"{self.domain}_{name}"
-            if name not in locomotion.TASKS.get(self.domain, []):
+            if name not in known:
                 continue
             reward_fn = get_reward_function(task, self.cfg.seed)
             meta_key = getattr(self.agent, "meta_key", "z")
