@@ -99,7 +99,8 @@ class DemoEngine:
                                       atol=1e-7):
                 break
         out: tp.Dict[str, tp.Any] = {"reward": total,
-                                     "steps": len(physics_rows) - 1}
+                                     "steps": len(physics_rows) - 1,
+                                     "_physics": np.stack(physics_rows)}
         if video_path is not None:
             renderer = Renderer(ws.domain, env)
             rec = VideoRecorder(Path(video_path).parent, renderer)
@@ -115,4 +116,14 @@ class DemoEngine:
         z = self.infer_z(equation)
         out = self.rollout(z, num_steps, video_path)
         out["equation"] = equation
+        # score the trajectory under the USER's equation too (the env's
+        # native task reward often doesn't match the typed objective)
+        phys = out.pop("_physics", None)
+        if phys is not None:
+            feats_fn = getattr(self.ws.env, "goal_features", lambda p: p)
+            feats = np.asarray(feats_fn(jnp.asarray(phys)))
+            reward = EquationReward(equation, self.feature_names,
+                                    lambda p: p)
+            out["equation_reward"] = float(
+                reward.from_features(feats).sum())
         return out
