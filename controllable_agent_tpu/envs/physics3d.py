@@ -34,9 +34,55 @@ Array = jnp.ndarray
 GRAVITY = 9.81
 
 
+class Heightfield(struct.PyTreeNode):
+    """Square terrain heightfield centred on the origin.
+
+    ``data[iy, ix]`` is the world-space height at
+    x = (ix/(res-1)*2-1)*half_size, y likewise. Heights are bilinearly
+    interpolated; queries outside the grid clamp to the border row/col
+    (terrain generators should taper to 0 at the rim so the clamped
+    border blends into the flat floor, as the reference's bowl terrain
+    does — url_benchmark/custom_dmc_tasks/quadruped.py:545-553).
+    """
+
+    data: Array  # [res, res]
+    half_size: float = struct.field(pytree_node=False)
+
+    @property
+    def res(self) -> int:
+        return self.data.shape[-1]
+
+
+def hf_height(hf: Heightfield, xy: Array) -> Array:
+    """Bilinear terrain height at world (x, y)."""
+    res = hf.res
+    uv = (xy / hf.half_size + 1.0) * 0.5 * (res - 1)
+    uv = jnp.clip(uv, 0.0, res - 1.0)
+    u, v = uv[0], uv[1]  # u along x (cols), v along y (rows)
+    u0 = jnp.clip(jnp.floor(u), 0, res - 2).astype(jnp.int32)
+    v0 = jnp.clip(jnp.floor(v), 0, res - 2).astype(jnp.int32)
+    fu, fv = u - u0, v - v0
+    h00 = hf.data[v0, u0]
+    h01 = hf.data[v0, u0 + 1]
+    h10 = hf.data[v0 + 1, u0]
+    h11 = hf.data[v0 + 1, u0 + 1]
+    return ((1 - fv) * ((1 - fu) * h00 + fu * h01)
+            + fv * ((1 - fu) * h10 + fu * h11))
+
+
+def hf_normal(hf: Heightfield, xy: Array) -> Array:
+    """Unit surface normal at world (x, y) from the height gradient."""
+    g = jax.grad(lambda p: hf_height(hf, p))(xy)
+    n = jnp.concatenate([-g, jnp.ones((1,))])
+    return n / jnp.linalg.norm(n)
+
+
 class Model3D(struct.PyTreeNode):
     """nb bodies; body 0 = root (6 dof), body b>=1 adds hinge dof 6+b-1.
-    ndof = nb + 5."""
+    ndof = nb + 5. ``fixed_base=True`` pins the root: its 6 dof are held
+    at their reset values (exact constraint — the joint block of M is
+    solved alone), giving fixed-base manipulators (jaco) on the same
+    engine."""
 
     parent: tp.Tuple[int, ...] = struct.field(pytree_node=False)
     anchor: Array  # [nb, 3] joint position in parent frame
@@ -57,6 +103,7 @@ class Model3D(struct.PyTreeNode):
     friction: float = struct.field(pytree_node=False, default=1.0)
     limit_stiffness: float = struct.field(pytree_node=False, default=300.0)
     limit_damping: float = struct.field(pytree_node=False, default=10.0)
+    fixed_base: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def nb(self) -> int:
@@ -150,23 +197,42 @@ def contact_world(model: Model3D, q: Array) -> Array:
                                      model.contact_point)
 
 
-def contact_forces(model: Model3D, q: Array, qd: Array
+def contact_forces(model: Model3D, q: Array, qd: Array,
+                   hfield: tp.Optional[Heightfield] = None
                    ) -> tp.Tuple[Array, Array]:
     def pts_fn(qq: Array) -> Array:
         return contact_world(model, qq)
     pts = pts_fn(q)
     jac = jax.jacfwd(pts_fn)(q)  # [nc,3,ndof]
     vel = jnp.einsum("cid,d->ci", jac, qd)
-    phi = model.contact_radius - pts[:, 2]
-    fn = jnp.where(
-        phi > 0,
-        jnp.maximum(model.contact_stiffness * phi
-                    - model.contact_damping * vel[:, 2], 0.0),
-        0.0)
     v_slip = 0.1
-    ft = -model.friction * fn[:, None] * jnp.clip(
-        vel[:, :2] / v_slip, -1.0, 1.0)
-    forces = jnp.concatenate([ft, fn[:, None]], axis=1)
+    if hfield is None:
+        phi = model.contact_radius - pts[:, 2]
+        fn = jnp.where(
+            phi > 0,
+            jnp.maximum(model.contact_stiffness * phi
+                        - model.contact_damping * vel[:, 2], 0.0),
+            0.0)
+        ft = -model.friction * fn[:, None] * jnp.clip(
+            vel[:, :2] / v_slip, -1.0, 1.0)
+        forces = jnp.concatenate([ft, fn[:, None]], axis=1)
+    else:
+        # Sloped-terrain contact: vertical gap against the interpolated
+        # height, force along the local surface normal, friction in the
+        # tangent plane (reference terrain: quadruped.py Escape task).
+        h = jax.vmap(lambda p: hf_height(hfield, p))(pts[:, :2])
+        n = jax.vmap(lambda p: hf_normal(hfield, p))(pts[:, :2])
+        phi = model.contact_radius - (pts[:, 2] - h)
+        v_n = jnp.einsum("ci,ci->c", vel, n)
+        fn = jnp.where(
+            phi > 0,
+            jnp.maximum(model.contact_stiffness * phi
+                        - model.contact_damping * v_n, 0.0),
+            0.0)
+        v_t = vel - v_n[:, None] * n
+        ft = -model.friction * fn[:, None] * jnp.clip(
+            v_t / v_slip, -1.0, 1.0)
+        forces = fn[:, None] * n + ft
     qf = jnp.einsum("cid,ci->d", jac, forces)
     return qf, fn
 
@@ -186,23 +252,30 @@ def joint_forces(model: Model3D, q: Array, qd: Array, action: Array) -> Array:
     return jnp.concatenate([jnp.zeros(6), tau])
 
 
-def forward_dynamics(model: Model3D, q: Array, qd: Array, action: Array
+def forward_dynamics(model: Model3D, q: Array, qd: Array, action: Array,
+                     hfield: tp.Optional[Heightfield] = None
                      ) -> tp.Tuple[Array, Array]:
     m = mass_matrix(model, q)
-    qf_contact, fn = contact_forces(model, q, qd)
+    qf_contact, fn = contact_forces(model, q, qd, hfield)
     rhs = (joint_forces(model, q, qd, action) + qf_contact
            + gravity_forces(model, q) - bias_forces(model, q, qd))
-    qdd = jnp.linalg.solve(m + 1e-8 * jnp.eye(model.ndof), rhs)
+    if model.fixed_base:
+        nj = model.ndof - 6
+        qdd_j = jnp.linalg.solve(m[6:, 6:] + 1e-8 * jnp.eye(nj), rhs[6:])
+        qdd = jnp.concatenate([jnp.zeros(6), qdd_j])
+    else:
+        qdd = jnp.linalg.solve(m + 1e-8 * jnp.eye(model.ndof), rhs)
     return qdd, fn
 
 
 def step(model: Model3D, q: Array, qd: Array, action: Array, dt: float,
-         n_substeps: int) -> tp.Tuple[Array, Array, Array]:
+         n_substeps: int, hfield: tp.Optional[Heightfield] = None
+         ) -> tp.Tuple[Array, Array, Array]:
     h = dt / n_substeps
 
     def substep(carry, _):
         q, qd, touch = carry
-        qdd, fn = forward_dynamics(model, q, qd, action)
+        qdd, fn = forward_dynamics(model, q, qd, action, hfield)
         qd = jnp.clip(qd + h * qdd, -100.0, 100.0)
         q = q + h * qd
         return (q, qd, jnp.maximum(touch, fn)), None

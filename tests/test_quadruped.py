@@ -125,3 +125,91 @@ def test_vmapped_episode() -> None:
         states, ts = step(states, jnp.zeros((3, 8)))
     assert ts.observation.shape == (3, 29)
     assert np.isfinite(np.asarray(ts.observation)).all()
+
+def test_escape_env() -> None:
+    env = quadruped.make("quadruped_escape", episode_length=50)
+    state, ts = env.reset(jax.random.key(0))
+    assert ts.observation.shape == (env.spec.obs_dim,) == (52,)
+    step = jax.jit(env.step)
+    rewards = []
+    for i in range(30):
+        a = jax.random.uniform(jax.random.fold_in(jax.random.key(1), i),
+                               (8,), minval=-1, maxval=1)
+        state, ts = step(state, a)
+        rewards.append(float(ts.reward))
+    obs = np.asarray(ts.observation)
+    assert np.isfinite(obs).all()
+    assert 0.0 <= min(rewards) and max(rewards) <= 1.0
+    # rangefinder readings live in (0, 1]
+    rf = obs[-quadruped._N_RANGEFINDERS:]
+    assert (rf > 0).all() and (rf <= 1.0).all()
+    # relabel from stored physics reproduces the env reward
+    assert float(env.reward_from_physics(ts.physics)) == pytest.approx(
+        rewards[-1], abs=1e-5)
+    # far outside the terrain the escape reward saturates to upright
+    phys = np.asarray(ts.physics).copy()
+    phys[0] = 2 * quadruped._TERRAIN_HALF
+    phys[3:6] = 0.0
+    assert float(env.reward_from_physics(jnp.asarray(phys))) > 0.95
+
+
+def test_escape_terrain_generation() -> None:
+    terrain = quadruped.generate_terrain(jax.random.key(0))
+    t = np.asarray(terrain)
+    assert t.shape == (quadruped._TERRAIN_RES, quadruped._TERRAIN_RES)
+    assert t.min() >= 0.0 and t.max() <= quadruped._TERRAIN_ZMAX
+    # bowl: centre low, rim high on average
+    c = quadruped._TERRAIN_RES // 2
+    assert t[c, c] < t[5, :].mean()
+    # different keys -> different terrain
+    t2 = np.asarray(quadruped.generate_terrain(jax.random.key(1)))
+    assert np.abs(t - t2).max() > 0.01
+
+
+def test_fetch_env() -> None:
+    env = quadruped.make("quadruped_fetch", episode_length=50)
+    state, ts = env.reset(jax.random.key(0))
+    assert ts.observation.shape == (env.spec.obs_dim,) == (41,)
+    assert ts.physics.shape == (env.spec.physics_dim,)
+    v0 = float(jnp.linalg.norm(state.ball_vel))
+    step = jax.jit(env.step)
+    for i in range(120):
+        a = jax.random.uniform(jax.random.fold_in(jax.random.key(1), i),
+                               (8,), minval=-1, maxval=1)
+        state, ts = step(state, a)
+    assert np.isfinite(np.asarray(ts.observation)).all()
+    # ball fell from 2 m, bounced, and is rolling near the floor without
+    # gaining energy (contact model is dissipative)
+    assert 0.05 < float(state.ball_pos[2]) < 0.5
+    assert float(jnp.linalg.norm(state.ball_vel)) < v0 + 1.0
+    assert 0.0 <= float(ts.reward) <= 1.0
+    assert float(env.reward_from_physics(ts.physics)) == pytest.approx(
+        float(ts.reward), abs=1e-5)
+    # ball on target under an upright torso -> high reward
+    ndof = env.model.ndof
+    phys = np.zeros(env.spec.physics_dim, np.float32)
+    phys[2] = 0.5  # torso at stand height over the origin
+    phys[2 * ndof + 2] = quadruped._BALL_RADIUS  # ball at origin
+    assert float(env.reward_from_physics(jnp.asarray(phys))) > 0.9
+
+
+def test_heightfield_interp_and_normal() -> None:
+    data = jnp.zeros((5, 5)).at[:, 4].set(1.0)  # ramp column at x edge
+    hf = p3d.Heightfield(data=data, half_size=2.0)
+    assert float(p3d.hf_height(hf, jnp.zeros(2))) == pytest.approx(0.0)
+    assert float(p3d.hf_height(hf, jnp.asarray([2.0, 0.0]))) == pytest.approx(1.0)
+    assert float(p3d.hf_height(hf, jnp.asarray([1.5, 0.0]))) == pytest.approx(0.5)
+    n = np.asarray(p3d.hf_normal(hf, jnp.asarray([1.5, 0.0])))
+    assert n[2] > 0 and n[0] < 0  # slopes up along +x -> normal tips to -x
+    np.testing.assert_allclose(np.linalg.norm(n), 1.0, atol=1e-5)
+
+
+def test_fixed_base_root_immobile() -> None:
+    model = quadruped.quadruped_model().replace(fixed_base=True)
+    q = jnp.zeros(model.ndof).at[2].set(0.5)
+    qd = jnp.zeros(model.ndof)
+    q2, qd2, _ = p3d.step(model, q, qd, jnp.ones(8), 0.02, 4)
+    np.testing.assert_allclose(np.asarray(q2[:6]), np.asarray(q[:6]),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(qd2[:6]), 0.0, atol=1e-7)
+    assert np.abs(np.asarray(qd2[6:])).max() > 0  # joints still actuate
