@@ -28,6 +28,9 @@ class TaskReward(BaseReward):
         if name.startswith("quadruped_"):
             from . import quadruped
             self._env = quadruped.make(name)
+        elif name.startswith("jaco_"):
+            from . import jaco
+            self._env = jaco.make(name)
         else:
             self._env = locomotion.make(name)
         self._batched = jax.jit(jax.vmap(self._env.reward_from_physics))

@@ -41,7 +41,8 @@ def get_goal_space_dim(name: str) -> int:
     """Dim lookup (reference goals.py:218-221) without instantiating envs:
     probe the registered space fn with a dummy feature vector."""
     domain, fn = goal_spaces.lookup(name)
-    probe_dim = {"point_mass_maze": 4, "walker": 6, "quadruped": 8, "grid": 4}[domain]
+    probe_dim = {"point_mass_maze": 4, "walker": 6, "quadruped": 8,
+                 "grid": 4, "jaco": 3}[domain]
     return int(np.asarray(fn(jnp.zeros(probe_dim))).size)
 
 
@@ -281,7 +282,9 @@ def get_reward_function(name: str, seed: tp.Optional[int] = None) -> BaseReward:
         return WalkerRandomReward(seed)
     if name.startswith("point_mass_maze_"):
         return PointMassReachReward(name[len("point_mass_maze_"):], seed)
-    if name.startswith("walker_") or name.startswith("quadruped_"):
+    if (name.startswith("walker_") or name.startswith("quadruped_")
+            or name.startswith("jaco_") or name.startswith("cheetah_")
+            or name.startswith("hopper_")):
         # native env task rewards (DmcReward analogue); resolved lazily
         from ..envs import dmc_tasks
         return dmc_tasks.make_task_reward(name, seed)

@@ -73,6 +73,13 @@ def grid_simple(physics: Array) -> Array:
     return physics[..., :2]
 
 
+@goal_spaces("jaco")
+def simplified_jaco(features: Array) -> Array:
+    """Tool-centre-point xyz (reference goals.py:54-57); jaco's
+    goal_features IS the tcp position, so this is the identity."""
+    return features[..., :3]
+
+
 # ---------------------------------------------------------------- goals
 
 @goals("simplified_walker")
@@ -128,3 +135,25 @@ def point_mass_maze_reach_bottom_right() -> np.ndarray:
 @goals("walker_pos_speed_z")
 def walker_dummy() -> np.ndarray:
     return np.zeros((6,), dtype=np.float32)
+
+
+# jaco reach targets (reference goals.py:186-208 / jaco.py:62-65)
+
+@goals("simplified_jaco")
+def jaco_reach_top_left() -> np.ndarray:
+    return np.array([-0.09, 0.09, 0.001], dtype=np.float32)
+
+
+@goals("simplified_jaco")
+def jaco_reach_top_right() -> np.ndarray:
+    return np.array([0.09, 0.09, 0.001], dtype=np.float32)
+
+
+@goals("simplified_jaco")
+def jaco_reach_bottom_left() -> np.ndarray:
+    return np.array([-0.09, -0.09, 0.001], dtype=np.float32)
+
+
+@goals("simplified_jaco")
+def jaco_reach_bottom_right() -> np.ndarray:
+    return np.array([0.09, -0.09, 0.001], dtype=np.float32)

@@ -84,6 +84,9 @@ def make_env(task: str, episode_length: tp.Optional[int] = None) -> Environment:
     if domain == "quadruped":
         from ..envs import quadruped
         return quadruped.make(task, episode_length=episode_length or 1000)
+    if domain == "jaco":
+        from ..envs import jaco
+        return jaco.make(task, episode_length=episode_length or 250)
     if domain in ("walker", "cheetah", "hopper"):
         from ..envs import locomotion
         return locomotion.make(task, episode_length=episode_length or 1000)
