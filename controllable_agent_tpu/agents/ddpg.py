@@ -7,8 +7,14 @@ agents build on this), and the reward-free mode that fits a reward model by
 regression before offline training (reference train_reward :269-308, run
 here as one jitted lax.scan).
 
-State observations only; the pixel Encoder path of the reference
-(ddpg.py:56-75) is intentionally not ported in this round.
+Supports both observation types of the reference: flat states, and
+``obs_type="pixels"`` with the 4-conv PixelEncoder + DrQ random-shift
+augmentation (reference Encoder ddpg.py:56-75, RandomShiftsAug
+utils.py:258-290). As in the reference update (ddpg.py:394-403), encoder
+gradients flow only through the critic loss, next_obs features are
+stop-gradient, and the actor sees detached features. Pixel observations
+arrive flat (spec.obs_shape carries H,W,C) and are reshaped at the agent
+boundary.
 """
 
 from __future__ import annotations
@@ -55,6 +61,10 @@ class DDPGConfig:
     init_critic: bool = True
     num_expl_steps: int = 0
     compute_dtype: str = "float32"
+    # pixels path (reference ddpg.py:56-75 / base_config obs_type)
+    obs_type: str = "states"
+    aug_pad: int = 4
+    update_encoder: bool = True
 
 
 class DDPGActor(nn.Module):
@@ -95,16 +105,39 @@ class DDPGTrainState(struct.PyTreeNode):
     critic_opt_state: tp.Any
     reward_params: tp.Any = None
     reward_opt_state: tp.Any = None
+    encoder_params: tp.Any = None
+    encoder_opt_state: tp.Any = None
+
+
+def _conv_repr_dim(h: int, w: int) -> int:
+    """Flattened PixelEncoder output (3x3 VALID convs, strides 2,1,1,1)."""
+    oh, ow = (h - 3) // 2 + 1, (w - 3) // 2 + 1
+    return 32 * (oh - 6) * (ow - 6)
 
 
 class DDPGAgent:
     def __init__(self, cfg: DDPGConfig, obs_dim: int, action_dim: int,
-                 meta_dim: int = 0) -> None:
+                 meta_dim: int = 0,
+                 obs_shape: tp.Tuple[int, ...] = ()) -> None:
         self.cfg = cfg
         self.obs_dim = obs_dim
         self.action_dim = action_dim
         self.meta_dim = meta_dim
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        self.pixels = cfg.obs_type == "pixels"
+        self.obs_shape = tuple(obs_shape)
+        self.encoder = None
+        self.encoder_opt = None
+        if self.pixels:
+            from ..models.networks import PixelEncoder
+            if len(self.obs_shape) != 3:
+                raise ValueError("obs_type=pixels needs an (H, W, C) "
+                                 f"obs_shape, got {self.obs_shape}")
+            self.encoder = PixelEncoder(dtype=dtype)
+            self.encoder_opt = optax.adam(cfg.lr)
+            # downstream nets consume encoded features, not raw pixels
+            self.obs_dim = _conv_repr_dim(self.obs_shape[0],
+                                          self.obs_shape[1])
         self.actor = DDPGActor(action_dim=action_dim, hidden_dim=cfg.hidden_dim,
                                dtype=dtype)
         self.critic = DDPGCritic(hidden_dim=cfg.hidden_dim, dtype=dtype)
@@ -123,8 +156,21 @@ class DDPGAgent:
     def _in_dim(self) -> int:
         return self.obs_dim + self.meta_dim
 
+    def _encode(self, encoder_params: tp.Any, obs: Array) -> Array:
+        """Flat pixel obs [B, H*W*C] -> encoder features [B, D]."""
+        assert self.encoder is not None
+        imgs = obs.reshape((obs.shape[0],) + self.obs_shape)
+        return self.encoder.apply(encoder_params, imgs)
+
     def init(self, key: jax.Array) -> DDPGTrainState:
-        k_actor, k_critic, k_rew = jax.random.split(key, 3)
+        k_actor, k_critic, k_rew, k_enc = jax.random.split(key, 4)
+        encoder_params = None
+        encoder_opt_state = None
+        if self.pixels:
+            assert self.encoder is not None and self.encoder_opt is not None
+            encoder_params = self.encoder.init(
+                k_enc, jnp.zeros((1,) + self.obs_shape))
+            encoder_opt_state = self.encoder_opt.init(encoder_params)
         obs = jnp.zeros((1, self._in_dim))
         action = jnp.zeros((1, self.action_dim))
         actor_params = self.actor.init(k_actor, obs)
@@ -136,6 +182,8 @@ class DDPGAgent:
             assert self.reward_opt is not None
             reward_opt_state = self.reward_opt.init(reward_params)
         return DDPGTrainState(
+            encoder_params=encoder_params,
+            encoder_opt_state=encoder_opt_state,
             step=jnp.zeros((), jnp.int32),
             actor_params=actor_params,
             critic_params=critic_params,
@@ -172,6 +220,8 @@ class DDPGAgent:
     # -- acting ----------------------------------------------------------
     def _act(self, state: DDPGTrainState, obs: Array, meta: MetaDict,
              step: Array, key: jax.Array, eval_mode: bool = False) -> Array:
+        if self.pixels:
+            obs = self._encode(state.encoder_params, obs)
         inpt = self._with_meta(obs, meta)
         mu = self.actor.apply(state.actor_params, inpt)
         if eval_mode:
@@ -240,18 +290,64 @@ class DDPGAgent:
     def _update(self, state: DDPGTrainState, batch: EpisodeBatch,
                 key: jax.Array) -> tp.Tuple[DDPGTrainState, tp.Dict[str, Array]]:
         cfg = self.cfg
-        k_critic, k_actor = jax.random.split(key)
-        obs = self._with_meta(batch.obs, batch.meta)
-        next_obs = self._with_meta(batch.next_obs, batch.meta)
-        reward = batch.reward
-        if cfg.reward_free:
-            reward = self.reward_model.apply(state.reward_params, next_obs)
-            reward = jax.lax.stop_gradient(reward)
+        k_critic, k_actor, k_aug1, k_aug2 = jax.random.split(key, 4)
+        encoder_opt_state = state.encoder_opt_state
 
-        (_, critic_metrics), critic_grads = jax.value_and_grad(
-            self._critic_loss, has_aux=True)(
-            state.critic_params, state, obs, batch.action, reward,
-            batch.discount, next_obs, k_critic)
+        if self.pixels:
+            # augment raw frames, encode; grads reach the encoder through
+            # the critic loss only (reference ddpg.py:377-384,394-399)
+            from ..ops.augment import random_shift_aug
+            bshape = (batch.obs.shape[0],) + self.obs_shape
+            obs_aug = random_shift_aug(
+                k_aug1, batch.obs.reshape(bshape), cfg.aug_pad)
+            next_aug = random_shift_aug(
+                k_aug2, batch.next_obs.reshape(bshape), cfg.aug_pad)
+            obs_aug = obs_aug.reshape(batch.obs.shape)
+            next_aug = next_aug.reshape(batch.next_obs.shape)
+            next_obs = jax.lax.stop_gradient(self._with_meta(
+                self._encode(state.encoder_params, next_aug), batch.meta))
+
+            reward = batch.reward
+            if cfg.reward_free:
+                reward = jax.lax.stop_gradient(
+                    self.reward_model.apply(state.reward_params, next_obs))
+
+            def enc_critic_loss(params: tp.Tuple[tp.Any, tp.Any]
+                                ) -> tp.Tuple[Array, tp.Dict[str, Array]]:
+                critic_params, enc_params = params
+                obs_feat = self._with_meta(
+                    self._encode(enc_params, obs_aug), batch.meta)
+                return self._critic_loss(
+                    critic_params, state, obs_feat, batch.action, reward,
+                    batch.discount, next_obs, k_critic)
+
+            (_, critic_metrics), (critic_grads, enc_grads) = (
+                jax.value_and_grad(enc_critic_loss, has_aux=True)(
+                    (state.critic_params, state.encoder_params)))
+            if cfg.update_encoder:
+                assert self.encoder_opt is not None
+                enc_updates, encoder_opt_state = self.encoder_opt.update(
+                    enc_grads, state.encoder_opt_state, state.encoder_params)
+                encoder_params = optax.apply_updates(
+                    state.encoder_params, enc_updates)
+            else:
+                encoder_params = state.encoder_params
+            # actor sees detached features (reference obs.detach(), :399)
+            obs = jax.lax.stop_gradient(self._with_meta(
+                self._encode(state.encoder_params, obs_aug), batch.meta))
+        else:
+            encoder_params = state.encoder_params
+            obs = self._with_meta(batch.obs, batch.meta)
+            next_obs = self._with_meta(batch.next_obs, batch.meta)
+            reward = batch.reward
+            if cfg.reward_free:
+                reward = self.reward_model.apply(state.reward_params, next_obs)
+                reward = jax.lax.stop_gradient(reward)
+
+            (_, critic_metrics), critic_grads = jax.value_and_grad(
+                self._critic_loss, has_aux=True)(
+                state.critic_params, state, obs, batch.action, reward,
+                batch.discount, next_obs, k_critic)
         critic_updates, critic_opt_state = self.critic_opt.update(
             critic_grads, state.critic_opt_state, state.critic_params)
         critic_params = optax.apply_updates(state.critic_params, critic_updates)
@@ -271,6 +367,8 @@ class DDPGAgent:
                 critic_params, state.target_critic_params, cfg.critic_target_tau),
             actor_opt_state=actor_opt_state,
             critic_opt_state=critic_opt_state,
+            encoder_params=encoder_params,
+            encoder_opt_state=encoder_opt_state,
         )
         metrics = {"batch_reward": reward.mean(), **critic_metrics,
                    **actor_metrics}

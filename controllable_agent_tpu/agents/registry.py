@@ -53,7 +53,8 @@ register_agent(
 register_agent(
     "ddpg", DDPGConfig,
     lambda cfg, spec, goal_dim: DDPGAgent(
-        cfg, obs_dim=spec.obs_dim, action_dim=spec.action_dim))
+        cfg, obs_dim=spec.obs_dim, action_dim=spec.action_dim,
+        obs_shape=spec.obs_shape))
 
 register_agent(
     "sf", SFConfig,

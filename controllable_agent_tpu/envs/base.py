@@ -71,6 +71,11 @@ class EnvSpec(struct.PyTreeNode):
 
     obs_dim: int = struct.field(pytree_node=False)
     action_dim: int = struct.field(pytree_node=False)
+    # non-empty for image observations: the (H, W, C) the flat obs vector
+    # reshapes to (pixel envs keep obs flat so replay/collectors are
+    # layout-agnostic; agents with encoders reshape at the boundary)
+    obs_shape: tp.Tuple[int, ...] = struct.field(pytree_node=False,
+                                                 default=())
     discrete_actions: bool = struct.field(pytree_node=False, default=False)
     n_actions: int = struct.field(pytree_node=False, default=0)
     physics_dim: int = struct.field(pytree_node=False, default=0)

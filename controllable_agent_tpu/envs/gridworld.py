@@ -61,6 +61,8 @@ _DELTAS = np.array([[-1, 0], [0, 1], [1, 0], [0, -1], [0, 0]], np.int32)
 OBS_AGENT_POS = "agent_pos"
 OBS_AGENT_ONEHOT = "agent_onehot"
 OBS_STATE_INDEX = "state_index"
+OBS_GRID = "grid"  # flat HxWx3 walls/agent/goal channels (env.py:40-43)
+OBS_AGENT_GOAL_POS = "agent_goal_pos"  # (ay, ax, gy, gx) (env.py:44-45)
 
 
 class GridState(struct.PyTreeNode):
@@ -100,29 +102,43 @@ class GridWorld(Environment):
         self._default_goal = jnp.asarray(np.array(goal, np.int32))
 
         obs_dim = {OBS_AGENT_POS: 2, OBS_AGENT_ONEHOT: self.n_states,
-                   OBS_STATE_INDEX: 1}[observation_type]
+                   OBS_STATE_INDEX: 1, OBS_GRID: 3 * self.n_states,
+                   OBS_AGENT_GOAL_POS: 4}[observation_type]
         self.spec = EnvSpec(obs_dim=obs_dim, action_dim=1,
                             discrete_actions=True, n_actions=5,
                             physics_dim=4, goal_dim=obs_dim,
                             episode_length=max_episode_length)
 
     # -- observations ----------------------------------------------------
-    def _obs_from_pos(self, pos: Array) -> Array:
+    def _obs_from_pos(self, pos: Array, goal: Array) -> Array:
         if self.observation_type == OBS_AGENT_POS:
             return pos.astype(jnp.float32) / jnp.asarray(self.shape, jnp.float32)
         if self.observation_type == OBS_AGENT_ONEHOT:
             idx = pos[0] * self.shape[1] + pos[1]
             return jax.nn.one_hot(idx, self.n_states, dtype=jnp.float32)
+        if self.observation_type == OBS_GRID:
+            # walls / agent / goal channels (reference env.py:40-43,196-204),
+            # flattened to fit the flat-obs pipeline
+            walls = (self.layout < 0).astype(jnp.float32)
+            idx = pos[0] * self.shape[1] + pos[1]
+            gidx = goal[0] * self.shape[1] + goal[1]
+            agent = jax.nn.one_hot(idx, self.n_states,
+                                   dtype=jnp.float32).reshape(self.shape)
+            goal_ch = jax.nn.one_hot(gidx, self.n_states,
+                                     dtype=jnp.float32).reshape(self.shape)
+            return jnp.stack([walls, agent, goal_ch], axis=-1).reshape(-1)
+        if self.observation_type == OBS_AGENT_GOAL_POS:
+            return jnp.concatenate([pos, goal]).astype(jnp.float32)
         idx = pos[0] * self.shape[1] + pos[1]
         return idx.astype(jnp.float32)[None]
 
     def get_obs(self, state: GridState) -> Array:
-        return self._obs_from_pos(state.pos)
+        return self._obs_from_pos(state.pos, state.goal)
 
     def get_goal_obs(self, state: GridState) -> Array:
         """Observation the agent would see standing on the goal cell
         (reference env.py:229-239)."""
-        return self._obs_from_pos(state.goal)
+        return self._obs_from_pos(state.goal, state.goal)
 
     def _physics(self, state: GridState) -> Array:
         return jnp.concatenate([state.pos, state.goal]).astype(jnp.float32)

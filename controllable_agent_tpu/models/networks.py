@@ -266,3 +266,25 @@ class MultinputNet(nn.Module):
         if seq:
             out = mlp(*seq, dtype=self.dtype)(out)
         return out
+
+
+class PixelEncoder(nn.Module):
+    """4-conv pixel encoder (reference Encoder, url_benchmark/agent/
+    ddpg.py:56-75): Conv 32x3x3 stride 2 + three stride-1 convs, ReLU,
+    flatten. NHWC layout (TPU-native; the reference is NCHW), VALID
+    padding so an 84x84 input flattens to 32*35*35 like the reference's
+    ``repr_dim``. Input is raw pixels in [0, 255]; output is float32.
+    """
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray) -> jnp.ndarray:
+        x = obs.astype(self.dtype) / 255.0 - 0.5
+        for stride in (2, 1, 1, 1):
+            x = nn.Conv(32, (3, 3), strides=stride, padding="VALID",
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        kernel_init=_ortho_init,
+                        bias_init=nn.initializers.zeros)(x)
+            x = nn.relu(x)
+        return x.reshape(x.shape[:-3] + (-1,)).astype(jnp.float32)

@@ -48,6 +48,8 @@ class WorkspaceConfig:
     num_agent_updates: int = 50
     update_replay_buffer: bool = True
     task: str = "point_mass_maze_reach_top_left"
+    obs_type: str = "states"  # "states" | "pixels" (reference base_config)
+    frame_stack: int = 3  # pixels only (reference pretrain.py:62)
     seed: int = 1
     discount: float = 0.98
     future: float = 0.99
@@ -101,7 +103,13 @@ class Workspace:
         self.work_dir = Path(cfg.folder)
         self.work_dir.mkdir(parents=True, exist_ok=True)
 
-        self.env = make_env(cfg.task, cfg.episode_length)
+        if cfg.obs_type == "pixels":
+            from ..envs.pixels import make_pixel_env
+            self.env: Environment = make_pixel_env(
+                cfg.task, frame_stack=cfg.frame_stack,
+                episode_length=cfg.episode_length)
+        else:
+            self.env = make_env(cfg.task, cfg.episode_length)
         self.domain = cfg.task.split("_", 1)[0]
         if self.domain == "point":
             self.domain = "point_mass_maze"
@@ -120,9 +128,16 @@ class Workspace:
             goal_dim = get_goal_space_dim(cfg.goal_space)
 
         agent_cfg_cls, _ = AGENTS[cfg.agent_name]
+        field_names = {f.name for f in dataclasses.fields(agent_cfg_cls)}
+        cfg_kwargs = ({"goal_space": cfg.goal_space}
+                      if "goal_space" in field_names else {})
         agent_cfg = apply_overrides(
-            agent_cfg_cls(goal_space=cfg.goal_space),
-            list(agent_cfg_overrides))
+            agent_cfg_cls(**cfg_kwargs), list(agent_cfg_overrides))
+        if cfg.obs_type == "pixels":
+            if not hasattr(agent_cfg, "obs_type"):
+                raise ValueError(
+                    f"Agent {cfg.agent_name!r} has no pixels path")
+            agent_cfg = dataclasses.replace(agent_cfg, obs_type="pixels")
         self.agent = make_agent(cfg.agent_name, agent_cfg, self.env.spec,
                                 goal_dim)
         self.agent_state = self.agent.init(self.keys.next())

@@ -93,3 +93,34 @@ def test_onehot_obs_and_goal_obs() -> None:
     assert obs.sum() == 1.0 and obs[2 * 10 + 2] == 1.0
     goal_obs = np.asarray(env.get_goal_obs(state))
     assert goal_obs.sum() == 1.0 and goal_obs[2 * 10 + 8] == 1.0
+
+
+def test_grid_and_agent_goal_pos_observation_types() -> None:
+    import jax
+    import numpy as np
+    from controllable_agent_tpu.envs.gridworld import (
+        OBS_AGENT_GOAL_POS, OBS_GRID, build_gridworld_task)
+
+    env = build_gridworld_task("simple", observation_type=OBS_GRID)
+    n = env.n_states
+    assert env.spec.obs_dim == 3 * n
+    state, ts = env.reset(jax.random.key(0))
+    obs = np.asarray(ts.observation).reshape(env.shape + (3,))
+    # channel 0 = walls, 1 = agent (exactly one), 2 = goal (exactly one)
+    np.testing.assert_array_equal(obs[..., 0],
+                                  np.asarray(env.layout) < 0)
+    assert obs[..., 1].sum() == 1.0 and obs[..., 2].sum() == 1.0
+    ay, ax = np.argwhere(obs[..., 1])[0]
+    assert (ay, ax) == tuple(np.asarray(state.pos))
+    # goal obs: agent channel sits on the goal cell
+    gobs = np.asarray(env.get_goal_obs(state)).reshape(env.shape + (3,))
+    gy, gx = np.argwhere(gobs[..., 1])[0]
+    assert (gy, gx) == tuple(np.asarray(state.goal))
+
+    env2 = build_gridworld_task("simple",
+                                observation_type=OBS_AGENT_GOAL_POS)
+    assert env2.spec.obs_dim == 4
+    state2, ts2 = env2.reset(jax.random.key(0))
+    np.testing.assert_array_equal(
+        np.asarray(ts2.observation),
+        np.concatenate([np.asarray(state2.pos), np.asarray(state2.goal)]))
