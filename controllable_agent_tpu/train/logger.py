@@ -191,7 +191,7 @@ class Logger:
     """Facade over train/eval MetersGroups + jsonl (reference logger.py:146-209)."""
 
     def __init__(self, log_dir: tp.Union[str, Path], use_console: bool = True,
-                 use_jsonl: bool = True) -> None:
+                 use_jsonl: bool = True, use_tb: bool = False) -> None:
         self._log_dir = Path(log_dir)
         self._log_dir.mkdir(parents=True, exist_ok=True)
         self._train_mg = MetersGroup(self._log_dir / "train.csv",
@@ -200,6 +200,14 @@ class Logger:
                                     _EVAL_FORMAT, use_console)
         self.hiplog: tp.Optional[JsonlLogger] = (
             JsonlLogger(self._log_dir / "hip.log") if use_jsonl else None)
+        # optional TensorBoard sink (reference logger.py:161-167) + generic
+        # extra sinks (the wandb per-dump hook, logger.py:129-140, without
+        # hard-coding any backend): fn(key, value, step)
+        self._tb = None
+        if use_tb:
+            from tensorboardX import SummaryWriter
+            self._tb = SummaryWriter(str(self._log_dir / "tb"))
+        self.extra_sinks: tp.List[tp.Callable[[str, float, int], None]] = []
 
     def log(self, key: str, value: Value, step: int) -> None:
         assert key.startswith("train") or key.startswith("eval"), key
@@ -207,6 +215,10 @@ class Logger:
         mg.log(key, float(value))
         if self.hiplog is not None:
             self.hiplog(**{key.replace("/", "_"): float(value)})
+        if self._tb is not None:
+            self._tb.add_scalar(key, float(value), step)
+        for sink in self.extra_sinks:
+            sink(key, float(value), step)
 
     def log_metrics(self, metrics: tp.Mapping[str, Value], step: int,
                     ty: str) -> None:

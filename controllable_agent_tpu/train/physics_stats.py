@@ -18,6 +18,8 @@ _FEATURE_NAMES = {
     "hopper": ("x", "z", "up", "vx", "vz", "am"),
     "point_mass_maze": ("x", "y", "vx", "vy"),
     "grid": ("y", "x", "goal_y", "goal_x"),
+    "quadruped": ("up", "_", "x", "y", "z", "vx", "vy", "vz"),
+    "jaco": ("tcp_x", "tcp_y", "tcp_z"),
 }
 
 

@@ -50,6 +50,8 @@ class Renderer:
             return self._grid(physics)
         if self.domain == "point_mass_maze":
             return self._maze(physics)
+        if self.domain in ("quadruped", "jaco"):
+            return self._body3d(physics)
         return self._locomotion(physics)
 
     def _grid(self, physics: np.ndarray) -> np.ndarray:
@@ -112,6 +114,38 @@ class Renderer:
             y0, x0 = to_px(*origins[b])
             y1, x1 = to_px(*end)
             _draw_line(img, y0, x0, y1, x1, (60, 90, 160), 4)
+        return img
+
+
+    def _body3d(self, physics: np.ndarray) -> np.ndarray:
+        """Quadruped / jaco: oblique projection of the 3-D kinematic tree
+        (x right, y into the screen with a 0.4 shear, z up)."""
+        from ..envs import physics3d as p3d
+        img = _blank()
+        model = self.env.model
+        q = physics[: model.ndof]
+        origins, _ = (np.asarray(a) for a in p3d.fk(model, q))
+        scale = 120.0 if self.domain == "quadruped" else 220.0
+        shear = 0.4
+        root = origins[0]
+        ground_y = 220.0
+
+        def to_px(p: np.ndarray) -> tp.Tuple[float, float]:
+            sx = (p[0] - root[0]) + shear * (p[1] - root[1])
+            sz = p[2] + shear * 0.5 * (p[1] - root[1])
+            return (ground_y - sz * scale, 128 + sx * scale)
+
+        img[int(ground_y):, :] = (210, 205, 195)
+        for b in range(1, len(origins)):
+            y0, x0 = to_px(origins[model.parent[b]])
+            y1, x1 = to_px(origins[b])
+            _draw_line(img, y0, x0, y1, x1, (60, 90, 160), 4)
+        _draw_disk(img, *to_px(origins[0]), 7, (40, 60, 120))
+        if self.domain == "jaco":
+            # target site from the physics tail (envs/jaco.py layout)
+            target = physics[2 * model.ndof:2 * model.ndof + 3]
+            if target.size == 3:
+                _draw_disk(img, *to_px(target), 5, (200, 60, 60))
         return img
 
 

@@ -67,6 +67,10 @@ class WorkspaceConfig:
     custom_reward: tp.Optional[str] = None
     folder: str = "exp_local"
     use_console: bool = True
+    use_tb: bool = False  # TensorBoard sink (reference logger.py:161-167)
+    # when set, one post-seed training cycle is captured with
+    # jax.profiler.trace into this dir (viewable in TensorBoard/XProf)
+    profile_dir: tp.Optional[str] = None
 
 
 def make_env(task: str, episode_length: tp.Optional[int] = None) -> Environment:
@@ -146,7 +150,9 @@ class Workspace:
             max_episodes=cfg.replay_buffer_episodes, discount=cfg.discount,
             future=cfg.future,
             max_episode_length=self.env.spec.episode_length)
-        self.logger = Logger(self.work_dir, use_console=cfg.use_console)
+        self.logger = Logger(self.work_dir, use_console=cfg.use_console,
+                             use_tb=cfg.use_tb)
+        self._profiled = False
         self.timer = Timer()
         self.global_step = 0
         self.global_episode = 0
@@ -345,6 +351,16 @@ class Workspace:
             "global_episode": self.global_episode,
         }, exclude=exclude)
 
+    def _profile_ctx(self) -> tp.ContextManager[tp.Any]:
+        """One-shot jax.profiler capture of a post-seed training cycle
+        (SURVEY §5 tracing; trace opens in TensorBoard/XProf)."""
+        import contextlib
+        if (self.cfg.profile_dir and not self._profiled
+                and self.global_step >= self.cfg.num_seed_frames):
+            self._profiled = True
+            return jax.profiler.trace(self.cfg.profile_dir)
+        return contextlib.nullcontext()
+
     def load_checkpoint(self, path: Path,
                         only: tp.Optional[tp.Sequence[str]] = None,
                         exclude: tp.Sequence[str] = ()) -> None:
@@ -370,8 +386,9 @@ class OfflineWorkspace(Workspace):
             self.agent, self.buffer.cfg, self.agent.cfg.batch_size,
             steps_per_call=cfg.steps_per_call)
         while self.global_step < cfg.num_grad_steps:
-            self.agent_state, metrics = trainer(
-                self.agent_state, self.buffer.state, self.keys.next())
+            with self._profile_ctx():
+                self.agent_state, metrics = trainer(
+                    self.agent_state, self.buffer.state, self.keys.next())
             self.global_step += cfg.steps_per_call
             elapsed, total = self.timer.reset()
             with self.logger.log_and_dump_ctx(self.global_step, "train") as log:
@@ -406,8 +423,9 @@ class OnlineWorkspace(Workspace):
             warmup = self.global_step < cfg.num_seed_frames
             if warmup:
                 trainer_updates, trainer.updates_per_step = trainer.updates_per_step, 0.0
-            self.agent_state, metrics = trainer.run_cycle(
-                self.agent_state, self.keys.next())
+            with self._profile_ctx():
+                self.agent_state, metrics = trainer.run_cycle(
+                    self.agent_state, self.keys.next())
             if warmup:
                 trainer.updates_per_step = trainer_updates
             self.global_step = trainer.global_step

@@ -103,3 +103,54 @@ def test_renderers_and_video(tmp_path) -> None:
     rec.record(np.asarray(ts.physics))
     saved = rec.save("test.gif")
     assert saved is not None and saved.exists()
+
+
+def test_tb_sink_and_extra_sinks(tmp_path) -> None:
+    from controllable_agent_tpu.train.logger import Logger
+
+    logger = Logger(tmp_path, use_console=False, use_tb=True)
+    seen = []
+    logger.extra_sinks.append(lambda k, v, s: seen.append((k, v, s)))
+    logger.log("train/fps", 12.5, step=3)
+    logger.dump(3, "train")
+    assert seen == [("train/fps", 12.5, 3)]
+    tb_files = list((tmp_path / "tb").glob("*"))
+    assert tb_files, "tensorboard event file written"
+
+
+def test_renderer_3d_domains() -> None:
+    import jax
+    import numpy as np
+    from controllable_agent_tpu.envs import jaco, quadruped
+    from controllable_agent_tpu.train.video import Renderer
+
+    for domain, env in [("quadruped", quadruped.make("quadruped_stand")),
+                        ("jaco", jaco.make("jaco_reach_top_left"))]:
+        _, ts = env.reset(jax.random.key(0))
+        frame = Renderer(domain, env)(np.asarray(ts.physics))
+        assert frame.shape == (256, 256, 3) and frame.dtype == np.uint8
+        # the figure is drawn (more than background + ground colors)
+        assert len(np.unique(frame.reshape(-1, 3), axis=0)) >= 3
+
+
+def test_profile_ctx_writes_trace(tmp_path) -> None:
+    import jax
+    import jax.numpy as jnp
+    from controllable_agent_tpu.train.workspace import (
+        Workspace, WorkspaceConfig)
+
+    cfg = WorkspaceConfig(
+        agent_name="fb_ddpg", task="point_mass_maze_reach_top_left",
+        goal_space="simplified_point_mass_maze", num_seed_frames=0,
+        episode_length=10, replay_buffer_episodes=4, num_envs=1,
+        folder=str(tmp_path / "ws"), use_console=False,
+        profile_dir=str(tmp_path / "prof"))
+    ws = Workspace(cfg, agent_cfg_overrides=[
+        "batch_size=8", "z_dim=8", "hidden_dim=32"])
+    with ws._profile_ctx():
+        float(jnp.sum(jnp.ones(8)))  # traced work inside the capture
+    assert ws._profiled
+    assert list((tmp_path / "prof").rglob("*")), "profiler trace written"
+    # second call is a no-op nullcontext
+    with ws._profile_ctx():
+        pass
