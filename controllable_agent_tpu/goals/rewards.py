@@ -184,6 +184,31 @@ class QuadrupedPosReward(BaseReward):
         return out[0] if np.asarray(physics).ndim == 1 else out
 
 
+class WalkerPosReward(BaseReward):
+    """Random positional reward: tolerance(|x - X|, r=1) with a random
+    integer target X in [-20, 20) (reference goals.py:348-368; unlike the
+    reference — which leaks to the global np.random — the target draws
+    from the seeded rng)."""
+
+    def __init__(self, seed: tp.Optional[int] = None) -> None:
+        super().__init__(seed)
+        self.x = int(self._rng.randint(-20, 20))
+
+    def get_goal(self, goal_space: str) -> np.ndarray:
+        if goal_space != "walker_pos_speed_z":
+            raise ValueError(
+                f"Goal space {goal_space} not supported with this reward")
+        # [z, up, vx, x, vz, am] (reference :360-362)
+        return np.array([1, 1, 0, self.x, 0, 0], dtype=np.float32)
+
+    def from_physics(self, physics: np.ndarray) -> np.ndarray:
+        feats = _walker_features_fn(np.atleast_2d(np.asarray(physics)))
+        d = np.abs(feats[..., 0] - self.x)  # feature 0 = torso x
+        out = np.asarray(tolerance(jnp.asarray(d), (0.0, 1.0), margin=1.0),
+                         np.float32)
+        return out[0] if np.asarray(physics).ndim == 1 else out
+
+
 class EquationReward(BaseReward):
     """User-supplied Python expression over named physics features,
     tokenizer-whitelisted then eval'd (reference WalkerEquation,
@@ -280,6 +305,8 @@ def get_reward_function(name: str, seed: tp.Optional[int] = None) -> BaseReward:
         return WalkerYogaReward(name[len("walker_yoga_"):], seed)
     if name == "walker_random_equation":
         return WalkerRandomReward(seed)
+    if name == "walker_position":
+        return WalkerPosReward(seed)
     if name.startswith("point_mass_maze_"):
         return PointMassReachReward(name[len("point_mass_maze_"):], seed)
     if (name.startswith("walker_") or name.startswith("quadruped_")

@@ -142,3 +142,35 @@ def test_walker_yoga_reward() -> None:
     # batched
     batch = np.tile(pose, (4, 1))
     assert reward.from_physics(batch).shape == (4,)
+
+
+def test_walker_pos_reward() -> None:
+    import numpy as np
+    from controllable_agent_tpu.goals import get_reward_function
+
+    r = get_reward_function("walker_position", seed=3)
+    assert -20 <= r.x < 20
+    g = r.get_goal("walker_pos_speed_z")
+    assert g.shape == (6,) and g[3] == r.x
+    # physics with torso exactly at the target -> reward 1
+    phys = np.zeros(18, np.float32)
+    phys[0] = r.x
+    phys[1] = 1.3
+    assert float(r.from_physics(phys)) > 0.99
+    phys[0] = r.x + 30.0
+    assert float(r.from_physics(phys)) < 0.01
+    # deterministic under the seed
+    r2 = get_reward_function("walker_position", seed=3)
+    assert r2.x == r.x
+    batch = r.from_physics(np.tile(phys, (5, 1)))
+    assert batch.shape == (5,)
+
+
+def test_benchmark_task_lists_resolve() -> None:
+    from controllable_agent_tpu.envs import benchmark
+    from controllable_agent_tpu.train.workspace import make_env
+
+    assert len(benchmark.TASKS) == 16
+    for task in benchmark.TASKS + list(benchmark.PRIMAL_TASKS.values()):
+        env = make_env(task)
+        assert env.spec.obs_dim > 0
