@@ -21,6 +21,7 @@ import dataclasses
 import math
 import typing as tp
 
+import chex
 import jax
 import jax.numpy as jnp
 import optax
@@ -255,8 +256,26 @@ class SVDP(FeatureLearner):
         return loss + orth
 
 
+class FBFeatures(FeatureLearner):
+    """φ(s) = B(s) from a pretrained FB agent, frozen (reference
+    FBFeatures, sf.py:368-380 — which torch.loads a checkpoint from a
+    hardcoded cluster path; here the checkpointed backward params are
+    grafted in explicitly via SFAgent.load_fb_features)."""
+
+    def setup(self) -> None:
+        from ..models.networks import BackwardMap
+        # geometry matches the FB agent's backward net so a trained
+        # FBTrainState.backward_params drops in directly
+        self.feature_net = BackwardMap(z_dim=self.z_dim,
+                                       hidden_dim=self.hidden_dim)
+
+    def __call__(self, obs, action, next_obs, future_obs):
+        return None  # frozen: no training loss
+
+
 FEATURE_LEARNERS: tp.Dict[str, tp.Callable[..., FeatureLearner]] = {
     "random": FeatureLearner,
+    "fb": FBFeatures,
     "identity": Identity,
     "lap": Laplacian,
     "contrastive": ContrastiveFeature,
@@ -269,9 +288,6 @@ FEATURE_LEARNERS: tp.Dict[str, tp.Callable[..., FeatureLearner]] = {
     "svd_srv2": lambda **kw: SVDSR(swap=True, **kw),
     "svd_p": SVDP,
 }
-# note: the reference's "FB" learner (sf.py:368-380) loads a pretrained FB
-# checkpoint from a hardcoded cluster path; here pass feature_learner="fb"
-# with SFAgent.load_fb_features(path) — see that method.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -349,7 +365,8 @@ class SFAgent(ZMetaMixin):
         self.feature_learner = FEATURE_LEARNERS[cfg.feature_learner](
             obs_dim=self.goal_dim, action_dim=action_dim, z_dim=cfg.z_dim,
             hidden_dim=cfg.backward_hidden_dim)
-        self._learner_trainable = cfg.feature_learner not in ("random", "identity")
+        self._learner_trainable = cfg.feature_learner not in (
+            "random", "identity", "fb")
 
         self.actor_opt = optax.adam(cfg.lr)
         self.sf_opt = optax.adam(cfg.lr)
@@ -389,6 +406,21 @@ class SFAgent(ZMetaMixin):
     def features(self, feature_params: tp.Any, goal: Array) -> Array:
         return self.feature_learner.apply(feature_params, goal,
                                           method=self.feature_learner.features)
+
+    def load_fb_features(self, state: SFTrainState,
+                         fb_backward_params: tp.Any) -> SFTrainState:
+        """Graft a pretrained FB agent's backward-net params in as the
+        frozen φ (requires feature_learner="fb"; reference FBFeatures,
+        sf.py:368-380). Pass FBTrainState.backward_params (or the same
+        subtree restored from a checkpoint)."""
+        assert self.cfg.feature_learner == "fb", (
+            "load_fb_features requires feature_learner='fb'")
+        new_feature_params = {"params": {
+            "feature_net": fb_backward_params["params"]}}
+        chex.assert_trees_all_equal_shapes(state.feature_params,
+                                           new_feature_params)
+        return state.replace(
+            feature_params=jax.tree.map(jnp.asarray, new_feature_params))
 
     # -- z & meta --------------------------------------------------------
     def sample_z(self, key: jax.Array, size: int) -> Array:

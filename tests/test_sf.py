@@ -36,7 +36,7 @@ def test_each_feature_learner_updates(learner: str) -> None:
     state2, metrics = agent.update(state, _batch(), jax.random.key(1))
     assert np.isfinite(float(metrics["sf_loss"])), learner
     assert np.isfinite(float(metrics["actor_loss"])), learner
-    if learner not in ("random", "identity"):
+    if learner not in ("random", "identity", "fb"):  # fb = frozen phi
         assert np.isfinite(float(metrics["phi_loss"])), learner
     assert int(state2.step) == 1
 
@@ -100,3 +100,43 @@ def test_sf_mse_variant() -> None:
 def test_unknown_learner_raises() -> None:
     with pytest.raises(ValueError):
         _agent(feature_learner="nope")
+
+
+def test_fb_features_learner_grafts_pretrained_backward_net() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from controllable_agent_tpu.agents.fb_ddpg import FBDDPGAgent, FBDDPGConfig
+    from controllable_agent_tpu.agents.sf import SFAgent, SFConfig
+
+    obs_dim, action_dim, z_dim, hidden = 6, 3, 8, 32
+    fb_cfg = FBDDPGConfig(z_dim=z_dim, hidden_dim=hidden, feature_dim=16,
+                          backward_hidden_dim=hidden, batch_size=8)
+    fb = FBDDPGAgent(fb_cfg, obs_dim=obs_dim, action_dim=action_dim)
+    fb_state = fb.init(jax.random.key(0))
+
+    sf_cfg = SFConfig(feature_learner="fb", z_dim=z_dim, hidden_dim=hidden,
+                      feature_dim=16, backward_hidden_dim=hidden,
+                      batch_size=8)
+    sf = SFAgent(sf_cfg, obs_dim=obs_dim, action_dim=action_dim,
+                 goal_dim=None)
+    sf_state = sf.init(jax.random.key(1))
+    sf_state = sf.load_fb_features(sf_state, fb_state.backward_params)
+
+    goals = jax.random.normal(jax.random.key(2), (5, obs_dim))
+    phi = sf.features(sf_state.feature_params, goals)
+    b = fb.backward_net.apply(fb_state.backward_params, goals)
+    np.testing.assert_allclose(np.asarray(phi), np.asarray(b), atol=1e-5)
+    # frozen: an update step leaves phi params untouched
+    from controllable_agent_tpu.data.episode_batch import EpisodeBatch
+    batch = EpisodeBatch(
+        obs=goals, action=jnp.zeros((5, action_dim)),
+        reward=jnp.ones((5, 1)), discount=jnp.full((5, 1), 0.98),
+        next_obs=goals, future_obs=goals, goal=goals, next_goal=goals,
+        future_goal=goals, meta={"z": jnp.zeros((5, z_dim))})
+    old_phi_params = jax.tree.map(jnp.copy, sf_state.feature_params)
+    new_state, _ = sf.update(sf_state, batch, jax.random.key(3))
+    jax.tree.map(
+        lambda a, b_: np.testing.assert_array_equal(np.asarray(a),
+                                                    np.asarray(b_)),
+        old_phi_params, new_state.feature_params)
