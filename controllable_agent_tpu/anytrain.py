@@ -15,7 +15,12 @@ from .pretrain import main as _main
 
 
 def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
-    _main(argv)
+    args = list(argv if argv is not None else sys.argv[1:])
+    if "--help" in args or "-h" in args:
+        from .pretrain import print_help
+        print_help(__doc__)
+        return
+    _main(args)
 
 
 if __name__ == "__main__":

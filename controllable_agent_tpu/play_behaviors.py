@@ -26,6 +26,9 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     from .train.video import Renderer, VideoRecorder
 
     argv = list(argv if argv is not None else sys.argv[1:])
+    if "--help" in argv or "-h" in argv:
+        print(__doc__)
+        return
     opts = dict(arg.split("=", 1) for arg in argv)
     folder = opts.pop("folder")
     play_task = opts.pop("play_task", None)

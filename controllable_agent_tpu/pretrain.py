@@ -34,6 +34,22 @@ def split_overrides(argv: tp.Sequence[str]
     return agent_name, ws_overrides, agent_overrides
 
 
+def print_help(doc: tp.Optional[str]) -> None:
+    """`--help`: usage + every workspace/agent config field with defaults
+    (the reference's `--cfg job` introspection niche, README.md:43-49)."""
+    import dataclasses
+    from .agents.registry import AGENTS
+    print(doc or "")
+    print("workspace config (key=value):")
+    for f in dataclasses.fields(WorkspaceConfig):
+        print(f"  {f.name}={f.default!r}")
+    print("\nagents (agent=NAME; fields via agent.KEY=value):")
+    for name, (cfg_cls, _) in sorted(AGENTS.items()):
+        fields = ", ".join(f.name for f in dataclasses.fields(cfg_cls)
+                           if f.name != "name")
+        print(f"  {name}: {fields}")
+
+
 def build_workspace(argv: tp.Sequence[str], offline: bool = False):
     agent_name, ws_overrides, agent_overrides = split_overrides(argv)
     cfg = apply_overrides(WorkspaceConfig(agent_name=agent_name), ws_overrides)
@@ -42,7 +58,11 @@ def build_workspace(argv: tp.Sequence[str], offline: bool = False):
 
 
 def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
-    ws = build_workspace(argv if argv is not None else sys.argv[1:])
+    args = list(argv if argv is not None else sys.argv[1:])
+    if "--help" in args or "-h" in args:
+        print_help(__doc__)
+        return
+    ws = build_workspace(args)
     ws.train()
 
 

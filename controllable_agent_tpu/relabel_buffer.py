@@ -23,6 +23,9 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     from .train import checkpoint as ckpt_lib
 
     argv = list(argv if argv is not None else sys.argv[1:])
+    if "--help" in argv or "-h" in argv:
+        print(__doc__)
+        return
     opts = dict(arg.split("=", 1) for arg in argv)
     path = Path(opts["checkpoint"])
     task = opts["task"]

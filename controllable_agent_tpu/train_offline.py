@@ -21,6 +21,10 @@ from .pretrain import build_workspace
 
 def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     argv = list(argv if argv is not None else sys.argv[1:])
+    if "--help" in argv or "-h" in argv:
+        from .pretrain import print_help
+        print_help(__doc__)
+        return
     replay_dir: tp.Optional[str] = None
     relabel = True
     rest: tp.List[str] = []

@@ -17,6 +17,10 @@ from .train.workspace import TrainOnlineWorkspace, WorkspaceConfig
 
 def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     argv = list(argv if argv is not None else sys.argv[1:])
+    if "--help" in argv or "-h" in argv:
+        from .pretrain import print_help
+        print_help(__doc__)
+        return
     agent_name, ws_overrides, agent_overrides = split_overrides(argv)
     cfg = apply_overrides(WorkspaceConfig(agent_name=agent_name), ws_overrides)
     ws = TrainOnlineWorkspace(cfg, agent_cfg_overrides=agent_overrides)

@@ -57,3 +57,14 @@ def test_flat_dict() -> None:
     flat = to_flat_dict(Outer())
     assert flat["agent.z_dim"] == 50
     assert flat["task"] == "walker_walk"
+
+
+def test_cli_help(capsys) -> None:
+    from controllable_agent_tpu import (anytrain, pretrain, train_offline,
+                                        train_online)
+
+    for mod in (pretrain, anytrain, train_online, train_offline):
+        mod.main(["--help"])
+        out = capsys.readouterr().out
+        assert "workspace config" in out
+        assert "fb_ddpg" in out
