@@ -186,5 +186,10 @@ class VideoRecorder:
         import imageio
         assert self.save_dir is not None
         path = self.save_dir / file_name
-        imageio.mimsave(str(path), self.frames, fps=self.fps)
+        try:
+            imageio.mimsave(str(path), self.frames, fps=self.fps)
+        except (ValueError, ImportError):
+            # no mp4/ffmpeg backend in this environment -> gif fallback
+            path = path.with_suffix(".gif")
+            imageio.mimsave(str(path), self.frames, fps=self.fps)
         return path
