@@ -9,11 +9,12 @@ function of the physics vector — point-mass maze as disk+walls+target,
 planar locomotion as a capsule stick figure from forward kinematics —
 making pixel envs exactly as jit/vmap-able as state envs.
 
-Observations stay FLAT (H*W*C float vector) through the wrapper API so
-replay buffers and collectors are layout-agnostic; ``spec.obs_shape``
-records (H, W, C) and encoder agents reshape at their input boundary.
-Values are in [0, 255] like the reference's uint8 frames (kept float for
-the storage pipeline; the encoder normalizes by /255).
+Observations stay FLAT (H*W*C vector) through the wrapper API so replay
+buffers and collectors are layout-agnostic; ``spec.obs_shape`` records
+(H, W, C) and encoder agents reshape at their input boundary. Values are
+uint8 in [0, 255] like the reference's frames — the replay buffer stores
+per-name dtypes, so pixel replay is 4x smaller than float storage; the
+encoder casts and normalizes by /255 on device.
 """
 
 from __future__ import annotations
@@ -148,9 +149,9 @@ class PixelWrapper(Environment):
         return self.env.goal_features(physics)  # type: ignore[attr-defined]
 
     def _obs(self, frames: Array) -> Array:
-        # [stack,H,W,C] -> [H,W,stack*C] -> flat
+        # [stack,H,W,C] -> [H,W,stack*C] -> flat uint8
         stacked = jnp.concatenate(list(frames), axis=-1)
-        return stacked.reshape(-1)
+        return stacked.reshape(-1).astype(jnp.uint8)
 
     def reset(self, key: jax.Array) -> tp.Tuple[PixelState, TimeStep]:
         inner, ts = self.env.reset(key)

@@ -3,9 +3,13 @@
 The reference's RandomShiftsAug (url_benchmark/utils.py:258-290) replicate-
 pads by ``pad`` and bilinearly resamples at a grid offset by a *random
 integer* number of pixels (torch.randint), i.e. the bilinear grid_sample
-degenerates to an exact integer translation. The TPU-native formulation
-exploits that directly: replicate-pad + one per-sample dynamic_slice —
-no gather/grid_sample, fully fusible under vmap/jit.
+degenerates to an exact integer translation. The TPU-native formulation:
+replicate-pad + two batched row/column gathers (take_along_axis).
+
+Do NOT write this as a vmapped dynamic_slice: on real TPU that lowers to
+one dynamic-update-slice PER SAMPLE, serializing the batch (measured 85%
+of the whole DDPG pixel update). Batched gathers run as two vectorized
+ops.
 
 Layout is NHWC (TPU-preferred), vs the reference's NCHW.
 """
@@ -27,8 +31,7 @@ def random_shift_aug(key: jax.Array, imgs: Array, pad: int = 4) -> Array:
     padded = jnp.pad(imgs, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
                      mode="edge")
     shifts = jax.random.randint(key, (b, 2), 0, 2 * pad + 1)
-
-    def slice_one(img: Array, sh: Array) -> Array:
-        return jax.lax.dynamic_slice(img, (sh[0], sh[1], 0), (h, w, c))
-
-    return jax.vmap(slice_one)(padded, shifts)
+    rows = shifts[:, 0, None] + jnp.arange(h)  # [B, H]
+    cols = shifts[:, 1, None] + jnp.arange(w)  # [B, W]
+    out = jnp.take_along_axis(padded, rows[:, :, None, None], axis=1)
+    return jnp.take_along_axis(out, cols[:, None, :, None], axis=2)

@@ -138,12 +138,18 @@ class OnlineTrainer:
     def __init__(self, env: Environment, agent: tp.Any,
                  buffer: tp.Any, num_envs: int = 1,
                  goal_fn: tp.Optional[tp.Callable[[Array], Array]] = None,
-                 updates_per_step: float = 0.5) -> None:
+                 updates_per_step: float = 0.5,
+                 max_steps_per_call: int = 200) -> None:
         self.env = env
         self.agent = agent
         self.buffer = buffer
         self.num_envs = num_envs
         self.updates_per_step = updates_per_step
+        # cap gradient steps per device launch: one giant scanned program
+        # (e.g. 1000 conv updates) can run long enough to trip the TPU
+        # runtime watchdog and kill the worker; chunking costs nothing
+        # (dispatch overhead is ~0 at >=50-step calls, see bench)
+        self.max_steps_per_call = max_steps_per_call
         self.collect = make_episode_collector(env, agent, num_envs, goal_fn)
         self._trainers: tp.Dict[int, tp.Callable] = {}
         self.global_step = 0
@@ -169,12 +175,17 @@ class OnlineTrainer:
         n_updates = int(T * self.num_envs * self.updates_per_step)
         metrics: tp.Dict[str, float] = {}
         if n_updates > 0 and len(self.buffer) > 0:
-            if n_updates not in self._trainers:
-                self._trainers[n_updates] = make_offline_trainer(
-                    self.agent, self.buffer.cfg, self.agent.cfg.batch_size,
-                    steps_per_call=n_updates)
-            train_state, m = self._trainers[n_updates](
-                train_state, self.buffer.state, k_train)
+            done = 0
+            while done < n_updates:
+                chunk = min(self.max_steps_per_call, n_updates - done)
+                if chunk not in self._trainers:
+                    self._trainers[chunk] = make_offline_trainer(
+                        self.agent, self.buffer.cfg,
+                        self.agent.cfg.batch_size, steps_per_call=chunk)
+                k_train, k_chunk = jax.random.split(k_train)
+                train_state, m = self._trainers[chunk](
+                    train_state, self.buffer.state, k_chunk)
+                done += chunk
             metrics = {k: float(v) for k, v in m.items()}
         # per-episode train reward (the reference logs episode_reward per
         # collected episode, anytrain.py:105-117)
