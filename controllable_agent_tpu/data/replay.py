@@ -264,3 +264,15 @@ class ReplayBuffer:
         storage = dict(self.state.storage)
         storage["reward"] = jnp.asarray(rewards)
         self.state = self.state.replace(storage=storage)
+
+    def set_goals(self, goal_fn: tp.Callable[[Array], Array]) -> None:
+        """(Re)compute the goal column from stored physics — the analogue of
+        the reference's goal_func pass during buffer load
+        (in_memory_replay_buffer.py:192-208 with goal relabeling)."""
+        assert self.state is not None and "physics" in self.state.storage
+        phys = self.state.storage["physics"]
+        e, t = phys.shape[:2]
+        g = jax.jit(goal_fn)(phys.reshape(e * t, -1))
+        storage = dict(self.state.storage)
+        storage["goal"] = jnp.asarray(g, jnp.float32).reshape(e, t, -1)
+        self.state = self.state.replace(storage=storage)

@@ -1,11 +1,17 @@
 """CLI: offline training from a stored replay buffer (ExORL workflow).
 
-Mirrors url_benchmark/train_offline.py: load episodes (.npz dir or a saved
-replay checkpoint), optionally relabel rewards for the target task from
-stored physics, then run pure gradient steps.
+Mirrors url_benchmark/train_offline.py: load episodes — either
+``replay_dir=`` (a directory of ExORL-format .npz episodes) or
+``load_replay=`` (the replay shard of a pretrain checkpoint, reference
+load_replay_buffer, train_offline.py:68-70) — optionally relabel rewards
+for the target task from stored physics, then run pure gradient steps.
 
     python -m controllable_agent_tpu.train_offline agent=fb_ddpg \
         task=point_mass_maze_reach_top_left replay_dir=/path/to/episodes
+
+    python -m controllable_agent_tpu.train_offline agent=fb_ddpg \
+        task=walker_walk goal_space=walker_pos_speed_z \
+        load_replay=exp_rnd/models/latest relabel=true
 """
 
 from __future__ import annotations
@@ -26,16 +32,31 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
         print_help(__doc__)
         return
     replay_dir: tp.Optional[str] = None
+    load_replay: tp.Optional[str] = None
     relabel = True
     rest: tp.List[str] = []
     for arg in argv:
         if arg.startswith("replay_dir="):
             replay_dir = arg.split("=", 1)[1]
+        elif arg.startswith("load_replay="):
+            load_replay = arg.split("=", 1)[1]
         elif arg.startswith("relabel="):
             relabel = arg.split("=", 1)[1].lower() == "true"
         else:
             rest.append(arg)
     ws = build_workspace(rest, offline=True)
+    if load_replay is not None:
+        # buffer from a pretrain checkpoint (reference train_offline.py:68-70
+        # load_replay_buffer): restore the replay shard only, then relabel
+        # rewards for the target task from stored physics and (re)compute
+        # the goal column for the requested goal space.
+        ws.load_checkpoint(Path(load_replay), only=["replay"])
+        assert len(ws.buffer) > 0, f"no episodes in {load_replay}"
+        if relabel:
+            reward_fn = get_reward_function(ws.cfg.task, ws.cfg.seed)
+            ws.buffer.relabel(reward_fn.from_physics)
+        if ws.goal_fn is not None:
+            ws.buffer.set_goals(ws.goal_fn)
     if replay_dir is not None:
         episodes = load_exorl_episodes(Path(replay_dir))
         if relabel:

@@ -58,3 +58,46 @@ def test_train_offline_cli_from_exorl(exorl_dir, tmp_path) -> None:
     # rewards were relabeled from physics: non-zero after walker_walk relabel
     eval_rows = (folder / "eval.csv").read_text().strip().split("\n")
     assert len(eval_rows) >= 2
+
+
+def test_train_offline_cli_from_replay_checkpoint(tmp_path) -> None:
+    """load_replay=: restore the replay shard of a pretrain checkpoint,
+    relabel for the target task, recompute goals (reference
+    train_offline.py:68-70 load_replay_buffer)."""
+    import numpy as np
+    from controllable_agent_tpu.data import ReplayBuffer
+    from controllable_agent_tpu.train import checkpoint as ckpt_lib
+
+    rng = np.random.RandomState(0)
+    buf = ReplayBuffer(max_episodes=8, discount=0.98, future=0.99)
+    T, ndof = 20, 9
+    for _ in range(4):
+        q = rng.randn(T + 1, ndof).astype(np.float32) * 0.3
+        q[:, 1] += 1.3
+        qd = rng.randn(T + 1, ndof).astype(np.float32)
+        buf.add_episode({
+            "observation": rng.randn(T + 1, 24).astype(np.float32),
+            "action": rng.uniform(-1, 1, (T + 1, 6)).astype(np.float32),
+            "reward": np.zeros((T + 1, 1), np.float32),
+            "discount": np.ones((T + 1, 1), np.float32),
+            "physics": np.concatenate([q, qd], axis=1),
+        })
+    ckpt = tmp_path / "models" / "latest"
+    ckpt.parent.mkdir(parents=True)
+    ckpt_lib.save_checkpoint(ckpt, {"replay": buf.state, "global_step": 123})
+
+    folder = tmp_path / "xp"
+    train_offline_main([
+        "agent=fb_ddpg", "task=walker_walk", "goal_space=simplified_walker",
+        f"load_replay={ckpt}", "relabel=true",
+        "num_grad_steps=10", "steps_per_call=10", "eval_every_steps=100",
+        "checkpoint_every=1000", "num_eval_episodes=2", "episode_length=20",
+        "replay_buffer_episodes=8", f"folder={folder}", "use_console=false",
+        "agent.hidden_dim=32", "agent.backward_hidden_dim=32",
+        "agent.feature_dim=16", "agent.z_dim=8", "agent.batch_size=16",
+        "agent.num_inference_steps=32",
+    ])
+    assert (folder / "train.csv").exists()
+    import json
+    meta = json.loads((folder / "models" / "latest" / "meta.json").read_text())
+    assert meta["global_step"] == 10  # replay-only restore: step NOT inherited
