@@ -29,3 +29,20 @@ def load_exorl_episodes(replay_dir: Path,
         eps_fns = eps_fns[:limit]
     for fn in eps_fns:
         yield load_episode(fn)
+
+
+def save_exorl_episodes(replay_state: tp.Any, out_dir: Path) -> int:
+    """Export a ReplayState's committed episodes as ExORL-format .npz files
+    (one file per episode, arrays [T+1, ...], the format the reference's
+    buffer loads — in_memory_replay_buffer.py:192-208). Returns the number
+    of episodes written. Padding beyond each episode's real length is
+    trimmed."""
+    out_dir.mkdir(parents=True, exist_ok=True)
+    storage = {k: np.asarray(v) for k, v in replay_state.storage.items()}
+    lengths = np.asarray(replay_state.ep_lengths)
+    n = int(replay_state.n_episodes)
+    for i in range(n):
+        t = int(lengths[i]) + 1
+        episode = {k: v[i, :t] for k, v in storage.items()}
+        np.savez(out_dir / f"episode_{i:06d}_{t - 1}.npz", **episode)
+    return n

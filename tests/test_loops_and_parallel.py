@@ -149,3 +149,45 @@ def test_collector_with_ddpg_meta_free_agent() -> None:
     keys = jax.random.split(jax.random.key(2), 2)
     traj = collect(state, meta, keys, jnp.asarray(10**6), jax.random.key(3))
     assert traj["action"].shape == (7, 2, 2)
+
+
+def test_multihost_trainer_single_process() -> None:
+    """MultiHostTrainer on the virtual 8-device mesh: initialize() is a
+    no-op single-process, the jitted DP step runs over the global mesh."""
+    from controllable_agent_tpu.parallel import multihost
+
+    multihost.initialize()  # single-process: must be a no-op
+    assert multihost.host_local_batch_size(32) == 32
+    agent = FBDDPGAgent(FBDDPGConfig(**_SMALL), obs_dim=4, action_dim=2)
+    buf = _filled_buffer()
+    trainer = multihost.MultiHostTrainer(agent, buf, batch_size=32,
+                                         steps_per_call=3)
+    assert trainer.mesh.devices.size == len(jax.devices())
+    state = agent.init(jax.random.key(0))
+    state, metrics = trainer.step(state, jax.random.key(1))
+    assert int(state.step) == 3
+    assert np.isfinite(float(metrics["fb_loss"]))
+
+
+def test_exorl_export_roundtrip(tmp_path) -> None:
+    """ExORL export: checkpoint replay shard -> .npz episodes -> reload."""
+    from controllable_agent_tpu.data.exorl import load_exorl_episodes
+    from controllable_agent_tpu.export_replay import main as export_main
+    from controllable_agent_tpu.train.checkpoint import save_checkpoint
+
+    buf = _filled_buffer()
+    ckpt = tmp_path / "latest"
+    save_checkpoint(ckpt, {"replay": buf.state})
+    out = tmp_path / "episodes"
+    export_main([f"checkpoint={ckpt}", f"out_dir={out}"])
+    episodes = list(load_exorl_episodes(out))
+    assert len(episodes) == 4
+    assert episodes[0]["observation"].shape == (21, 4)
+    # reload into a fresh buffer and sample
+    buf2 = ReplayBuffer(max_episodes=4, discount=0.98, future=0.99)
+    buf2.load_episodes(episodes)
+    batch = buf2.sample(jax.random.key(0), 8)
+    assert batch.obs.shape == (8, 4)
+    np.testing.assert_allclose(
+        np.asarray(buf2.state.storage["observation"]),
+        np.asarray(buf.state.storage["observation"]), rtol=1e-6)
