@@ -87,3 +87,24 @@ class CopiedBenchmark(EntryPoint):
     def __call__(self, **overrides: tp.Any) -> float:
         overrides.setdefault("folder", str(self.folder / "run"))
         return super().__call__(**overrides)
+
+
+def on_exception_enter_postmortem(f: tp.Callable) -> tp.Callable:
+    """Decorator: drop into pdb post-mortem on any exception (reference
+    on_exception_enter_postmortem, controllable_agent/runner.py:189-205).
+    Handy when iterating on a workspace interactively."""
+    import functools
+
+    @functools.wraps(f)
+    def wrapper(*args: tp.Any, **kwargs: tp.Any) -> tp.Any:
+        try:
+            return f(*args, **kwargs)
+        except Exception:
+            import pdb
+            import sys
+            import traceback
+            traceback.print_exc()
+            pdb.post_mortem(sys.exc_info()[2])
+            raise
+
+    return wrapper

@@ -74,3 +74,28 @@ def test_entry_point_config_composition() -> None:
     cfg = ep.config(task="grid_simple", num_train_frames=100)
     assert cfg.task == "grid_simple"
     assert cfg.num_train_frames == 100
+
+
+def test_on_exception_enter_postmortem(monkeypatch) -> None:
+    import pdb
+
+    from controllable_agent_tpu.orchestration.runner import (
+        on_exception_enter_postmortem,
+    )
+
+    entered = []
+    monkeypatch.setattr(pdb, "post_mortem", lambda tb: entered.append(tb))
+
+    @on_exception_enter_postmortem
+    def boom() -> None:
+        raise RuntimeError("boom")
+
+    @on_exception_enter_postmortem
+    def fine() -> int:
+        return 7
+
+    assert fine() == 7
+    import pytest
+    with pytest.raises(RuntimeError):
+        boom()
+    assert len(entered) == 1
