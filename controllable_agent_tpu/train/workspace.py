@@ -65,6 +65,7 @@ class WorkspaceConfig:
     episode_length: tp.Optional[int] = None
     steps_per_call: int = 200
     custom_reward: tp.Optional[str] = None
+    final_tests: int = 10  # episodes per task in finalize(); 0 disables
     folder: str = "exp_local"
     use_console: bool = True
     use_tb: bool = False  # TensorBoard sink (reference logger.py:161-167)
@@ -299,8 +300,18 @@ class Workspace:
     def finalize(self) -> tp.Dict[str, tp.List[float]]:
         """Final multi-task test battery: re-eval the agent on every task
         of the domain with relabeled rewards, writing test_rewards.json
-        (reference finalize, pretrain.py:496-533)."""
+        (reference finalize, pretrain.py:496-533; gated by final_tests,
+        called at the end of every train loop like the reference's)."""
+        import json
         from ..envs import locomotion
+        repeat = self.cfg.final_tests
+        if not repeat:
+            return {}
+        if self.cfg.custom_reward == "maze_multi_goal":
+            metrics = self.eval_maze_goals()
+            rewards = {"rewards": [metrics["reward"]]}
+            (self.work_dir / "test_rewards.json").write_text(json.dumps(rewards))
+            return rewards
         domain_tasks = {
             "cheetah": ["walk", "walk_backward", "run", "run_backward"],
             "quadruped": ["stand", "walk", "run", "jump"],
@@ -308,6 +319,10 @@ class Workspace:
             "hopper": ["stand", "hop", "hop_backward", "flip"],
         }
         if self.domain not in domain_tasks:
+            return {}
+        if not (hasattr(self.agent, "infer_meta_from_obs_and_rewards")
+                and len(self.buffer) > 0
+                and "physics" in self.buffer.state.storage):
             return {}
         if self._eval_fn is None:
             self._eval_fn = self._make_eval_fn()
@@ -325,8 +340,7 @@ class Workspace:
             reward_fn = get_reward_function(task, self.cfg.seed)
             meta_key = getattr(self.agent, "meta_key", "z")
             z = self._infer_meta_from_replay(reward_fn)
-            keys = jax.random.split(self.keys.next(),
-                                    self.cfg.num_eval_episodes)
+            keys = jax.random.split(self.keys.next(), repeat)
             _, physics, _ = self._eval_fn(self.agent_state, {meta_key: z},
                                           keys)
             phys = np.asarray(physics)
@@ -335,7 +349,6 @@ class Workspace:
                                                 phys.shape[1]).sum(1)
             rewards[task] = [float(x) for x in per_episode]
         self.eval_rewards_history = eval_hist
-        import json
         (self.work_dir / "test_rewards.json").write_text(json.dumps(rewards))
         return rewards
 
@@ -402,6 +415,7 @@ class OfflineWorkspace(Workspace):
             if self.global_step % cfg.checkpoint_every < cfg.steps_per_call:
                 self.save_checkpoint()
         self.save_checkpoint()
+        self.finalize()
 
 
 class OnlineWorkspace(Workspace):
@@ -444,6 +458,7 @@ class OnlineWorkspace(Workspace):
             if self.global_step % cfg.checkpoint_every < steps_per_cycle:
                 self.save_checkpoint()
         self.save_checkpoint()
+        self.finalize()
 
 
 class TrainOnlineWorkspace(Workspace):
@@ -494,3 +509,4 @@ class TrainOnlineWorkspace(Workspace):
             if self.global_step % cfg.checkpoint_every < steps_per_cycle:
                 self.save_checkpoint()
         self.save_checkpoint()
+        self.finalize()

@@ -70,7 +70,7 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
                 {**ep, "goal": np.asarray(ws.goal_fn(ep["physics"]))}
                 for ep in episodes)
         ws.buffer.load_episodes(episodes)
-    ws.train()
+    ws.train()  # ends with the finalize() battery (final_tests=0 disables)
 
 
 if __name__ == "__main__":

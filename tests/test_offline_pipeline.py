@@ -44,6 +44,7 @@ def test_train_offline_cli_from_exorl(exorl_dir, tmp_path) -> None:
         f"replay_dir={exorl_dir}", "relabel=true",
         "num_grad_steps=20", "steps_per_call=10", "eval_every_steps=20",
         "checkpoint_every=1000", "num_eval_episodes=2", "episode_length=20",
+        "final_tests=0",
         "replay_buffer_episodes=8", f"folder={folder}", "use_console=false",
         "agent.hidden_dim=32", "agent.backward_hidden_dim=32",
         "agent.feature_dim=16", "agent.z_dim=8", "agent.batch_size=16",
@@ -92,6 +93,7 @@ def test_train_offline_cli_from_replay_checkpoint(tmp_path) -> None:
         f"load_replay={ckpt}", "relabel=true",
         "num_grad_steps=10", "steps_per_call=10", "eval_every_steps=100",
         "checkpoint_every=1000", "num_eval_episodes=2", "episode_length=20",
+        "final_tests=0",
         "replay_buffer_episodes=8", f"folder={folder}", "use_console=false",
         "agent.hidden_dim=32", "agent.backward_hidden_dim=32",
         "agent.feature_dim=16", "agent.z_dim=8", "agent.batch_size=16",
