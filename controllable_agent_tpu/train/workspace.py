@@ -66,6 +66,12 @@ class WorkspaceConfig:
     steps_per_call: int = 200
     custom_reward: tp.Optional[str] = None
     final_tests: int = 10  # episodes per task in finalize(); 0 disables
+    # milestone snapshots: frames at which to save models/snapshot_<frame>
+    # (reference snapshot_at, pretrain.py:77-78; e.g. "100000,500000,2000000")
+    snapshot_at: tp.Tuple[int, ...] = ()
+    # warm-start from a checkpoint (agent + counters, no replay —
+    # reference load_model, pretrain.py:80,309-310)
+    load_model: tp.Optional[str] = None
     folder: str = "exp_local"
     use_console: bool = True
     use_tb: bool = False  # TensorBoard sink (reference logger.py:161-167)
@@ -163,6 +169,8 @@ class Workspace:
         save_config(cfg, str(self.work_dir / "config.json"))
         if (self.work_dir / "models" / "latest").exists():
             self.load_checkpoint(self.work_dir / "models" / "latest")
+        elif cfg.load_model is not None:
+            self.load_checkpoint(Path(cfg.load_model), exclude=["replay"])
 
     # -- eval -----------------------------------------------------------
     def _init_eval_meta(self) -> tp.Dict[str, Array]:
@@ -353,6 +361,14 @@ class Workspace:
         return rewards
 
     # -- checkpointing ---------------------------------------------------
+    def _maybe_snapshot(self, prev_step: int) -> None:
+        """Save milestone snapshots for frames crossed since prev_step
+        (reference pretrain.py:610-611; loops advance in chunks here)."""
+        for frame in self.cfg.snapshot_at:
+            if prev_step < frame <= self.global_step:
+                self.save_checkpoint(
+                    self.work_dir / "models" / f"snapshot_{frame}")
+
     def save_checkpoint(self, path: tp.Optional[Path] = None,
                         exclude: tp.Sequence[str] = ()) -> None:
         path = path or (self.work_dir / "models" / "latest")
@@ -399,10 +415,12 @@ class OfflineWorkspace(Workspace):
             self.agent, self.buffer.cfg, self.agent.cfg.batch_size,
             steps_per_call=cfg.steps_per_call)
         while self.global_step < cfg.num_grad_steps:
+            prev_step = self.global_step
             with self._profile_ctx():
                 self.agent_state, metrics = trainer(
                     self.agent_state, self.buffer.state, self.keys.next())
             self.global_step += cfg.steps_per_call
+            self._maybe_snapshot(prev_step)
             elapsed, total = self.timer.reset()
             with self.logger.log_and_dump_ctx(self.global_step, "train") as log:
                 log("fps", cfg.steps_per_call / max(elapsed, 1e-9))
@@ -442,8 +460,9 @@ class OnlineWorkspace(Workspace):
                     self.agent_state, self.keys.next())
             if warmup:
                 trainer.updates_per_step = trainer_updates
-            self.global_step = trainer.global_step
+            prev_step, self.global_step = self.global_step, trainer.global_step
             self.global_episode = trainer.global_episode
+            self._maybe_snapshot(prev_step)
             elapsed, total = self.timer.reset()
             with self.logger.log_and_dump_ctx(self.global_step, "train") as log:
                 log("fps", steps_per_cycle / max(elapsed, 1e-9))
@@ -483,6 +502,7 @@ class TrainOnlineWorkspace(Workspace):
         collector.global_episode = self.global_episode
         steps_per_cycle = T * cfg.num_rollout_episodes
         while self.global_step < cfg.num_train_frames:
+            prev_step = self.global_step
             if cfg.update_replay_buffer:
                 self.agent_state, metrics = collector.run_cycle(
                     self.agent_state, self.keys.next())
@@ -492,6 +512,7 @@ class TrainOnlineWorkspace(Workspace):
                 metrics = {}
                 self.global_step += steps_per_cycle
                 collector.global_step = self.global_step
+            self._maybe_snapshot(prev_step)
             if len(self.buffer) > 0:
                 self.agent_state, m = trainer(
                     self.agent_state, self.buffer.state, self.keys.next())

@@ -48,3 +48,38 @@ def test_exclude_on_save(tmp_path) -> None:
     fresh = agent.init(jax.random.key(99))
     out = ckpt.load_checkpoint(path, {"agent": fresh})
     assert "agent" not in out
+
+
+def test_snapshot_at_and_load_model(tmp_path) -> None:
+    """Milestone snapshots (reference snapshot_at, pretrain.py:77-78,
+    610-611) and warm-start from a checkpoint (load_model, :309-310)."""
+    import json
+    from controllable_agent_tpu.pretrain import main as pretrain_main
+
+    folder = tmp_path / "xp"
+    args = [
+        "agent=discrete_fb", "task=grid_simple", "episode_length=10",
+        "num_train_frames=80", "num_seed_frames=20", "num_envs=2",
+        "eval_every_steps=1000", "checkpoint_every=1000", "final_tests=0",
+        "replay_buffer_episodes=8", f"folder={folder}", "use_console=false",
+        "snapshot_at=40,60", "agent.hidden_dim=32",
+        "agent.backward_hidden_dim=32", "agent.feature_dim=16",
+        "agent.z_dim=8", "agent.batch_size=16",
+    ]
+    pretrain_main(args)
+    assert (folder / "models" / "snapshot_40").exists()
+    assert (folder / "models" / "snapshot_60").exists()
+
+    # warm-start a fresh workspace from the milestone
+    folder2 = tmp_path / "xp2"
+    pretrain_main([
+        "agent=discrete_fb", "task=grid_simple", "episode_length=10",
+        "num_train_frames=100", "num_seed_frames=20", "num_envs=2",
+        "eval_every_steps=1000", "checkpoint_every=1000", "final_tests=0",
+        "replay_buffer_episodes=8", f"folder={folder2}", "use_console=false",
+        f"load_model={folder / 'models' / 'snapshot_40'}",
+        "agent.hidden_dim=32", "agent.backward_hidden_dim=32",
+        "agent.feature_dim=16", "agent.z_dim=8", "agent.batch_size=16",
+    ])
+    meta = json.loads((folder2 / "models" / "latest" / "meta.json").read_text())
+    assert meta["global_step"] >= 100  # counters inherited from the snapshot
