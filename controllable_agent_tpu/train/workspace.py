@@ -54,6 +54,9 @@ class WorkspaceConfig:
     discount: float = 0.98
     future: float = 0.99
     goal_space: tp.Optional[str] = None
+    # append the goal-space vector to observations each step (reference
+    # append_goal_to_observation, pretrain.py:71 / dmc.py GoalWrapper)
+    append_goal_to_observation: bool = False
     num_train_frames: int = 2_000_010
     num_grad_steps: int = 1_000_000
     num_seed_frames: int = 4000
@@ -137,6 +140,10 @@ class Workspace:
             feats_fn = getattr(self.env, "goal_features", lambda p: p)
             self.goal_fn = lambda phys: space_fn(feats_fn(phys))
             goal_dim = get_goal_space_dim(cfg.goal_space)
+            if cfg.append_goal_to_observation:
+                from ..envs.wrappers import GoalAppendWrapper
+                self.env = GoalAppendWrapper(
+                    self.env, self.goal_fn, append_goal_to_observation=True)
 
         agent_cfg_cls, _ = AGENTS[cfg.agent_name]
         field_names = {f.name for f in dataclasses.fields(agent_cfg_cls)}

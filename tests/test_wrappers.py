@@ -59,3 +59,23 @@ def test_stateful_adapter() -> None:
     for _ in range(3):
         ts = env.step([0.3, 0.3])
     assert np.isfinite(np.asarray(ts.observation)).all()
+
+
+def test_append_goal_to_observation_workspace(tmp_path) -> None:
+    """Workspace-level goal append (reference append_goal_to_observation,
+    pretrain.py:71): obs grows by goal_dim and training runs."""
+    from controllable_agent_tpu.pretrain import build_workspace
+
+    ws = build_workspace([
+        "agent=fb_ddpg", "task=point_mass_maze_reach_top_left",
+        "goal_space=simplified_point_mass_maze",
+        "append_goal_to_observation=true", "episode_length=20",
+        f"folder={tmp_path}", "use_console=false", "final_tests=0",
+        "agent.hidden_dim=32", "agent.backward_hidden_dim=32",
+        "agent.feature_dim=16", "agent.z_dim=8", "agent.batch_size=16",
+    ])
+    assert ws.env.spec.obs_dim == 4 + 2  # pointmass obs + 2-d goal space
+    import jax
+    _, ts = ws.env.reset(jax.random.key(0))
+    assert ts.observation.shape == (6,)
+    assert ts.goal.shape == (2,)
