@@ -80,3 +80,21 @@ def load(folder: tp.Union[str, Path],
         record.update(HipLog(log_path).aggregate())
         records.append(record)
     return records
+
+
+def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
+    """CLI: flatten every experiment under a folder tree to JSON lines
+    (the reference's `python -m hiplot url_benchmark.hiplogs.load` niche,
+    README.md:80-86 — records are hiplot-ready flat dicts)."""
+    import sys
+    args = list(argv if argv is not None else sys.argv[1:])
+    if not args or "--help" in args or "-h" in args:
+        print(__doc__)
+        print("usage: python -m controllable_agent_tpu.train.hiplogs FOLDER")
+        return
+    for record in load(args[0]):
+        print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()

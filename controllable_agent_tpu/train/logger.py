@@ -157,6 +157,8 @@ class JsonlLogger:
         return self
 
     def write(self) -> None:
+        if not self._content:
+            return
         self._content.update(
             {"#now": datetime.datetime.now().isoformat(),
              "#reloads": self._reloads})
@@ -230,6 +232,10 @@ class Logger:
             self._eval_mg.dump(step, "eval")
         if ty is None or ty == "train":
             self._train_mg.dump(step, "train")
+        # flush the accumulated hiplog record once per dump (the reference
+        # writes once per cycle, anytrain.py:155-160)
+        if self.hiplog is not None:
+            self.hiplog.write()
 
     class _LogAndDumpCtx:
         def __init__(self, logger: "Logger", step: int, ty: str) -> None:
