@@ -67,6 +67,11 @@ class WorkspaceConfig:
     num_envs: int = 4
     episode_length: tp.Optional[int] = None
     steps_per_call: int = 200
+    # offline loop: materialize metrics to host only this often. Device
+    # launches stay pipelined in between — on a tunneled TPU the per-call
+    # host sync otherwise dominates (relay round-trip >> 200 steps of MXU
+    # work).
+    log_every_steps: int = 1000
     custom_reward: tp.Optional[str] = None
     final_tests: int = 10  # episodes per task in finalize(); 0 disables
     # milestone snapshots: frames at which to save models/snapshot_<frame>
@@ -421,24 +426,40 @@ class OfflineWorkspace(Workspace):
         trainer = make_offline_trainer(
             self.agent, self.buffer.cfg, self.agent.cfg.batch_size,
             steps_per_call=cfg.steps_per_call)
+        log_every = max(cfg.log_every_steps, cfg.steps_per_call)
+        steps_since_log = 0
         while self.global_step < cfg.num_grad_steps:
             prev_step = self.global_step
             with self._profile_ctx():
                 self.agent_state, metrics = trainer(
                     self.agent_state, self.buffer.state, self.keys.next())
             self.global_step += cfg.steps_per_call
+            steps_since_log += cfg.steps_per_call
             self._maybe_snapshot(prev_step)
-            elapsed, total = self.timer.reset()
-            with self.logger.log_and_dump_ctx(self.global_step, "train") as log:
-                log("fps", cfg.steps_per_call / max(elapsed, 1e-9))
-                log("total_time", total)
-                log("step", self.global_step)
-                for k, v in metrics.items():
-                    log(k, float(v))
+            if steps_since_log >= log_every:
+                # metrics stay on device between logs so launches pipeline;
+                # float() here is the only host sync
+                elapsed, total = self.timer.reset()
+                with self.logger.log_and_dump_ctx(self.global_step,
+                                                  "train") as log:
+                    log("fps", steps_since_log / max(elapsed, 1e-9))
+                    log("total_time", total)
+                    log("step", self.global_step)
+                    for k, v in metrics.items():
+                        log(k, float(v))
+                steps_since_log = 0
             if self.global_step % cfg.eval_every_steps < cfg.steps_per_call:
                 self.evaluate()
             if self.global_step % cfg.checkpoint_every < cfg.steps_per_call:
                 self.save_checkpoint()
+        if steps_since_log:
+            elapsed, total = self.timer.reset()
+            with self.logger.log_and_dump_ctx(self.global_step, "train") as log:
+                log("fps", steps_since_log / max(elapsed, 1e-9))
+                log("total_time", total)
+                log("step", self.global_step)
+                for k, v in metrics.items():
+                    log(k, float(v))
         self.save_checkpoint()
         self.finalize()
 
