@@ -22,9 +22,15 @@ def load_episode(fn: Path) -> tp.Dict[str, np.ndarray]:
 
 
 def load_exorl_episodes(replay_dir: Path,
-                        limit: tp.Optional[int] = None
+                        limit: tp.Optional[int] = None,
+                        shard: int = 0, num_shards: int = 1
                         ) -> tp.Iterator[tp.Dict[str, np.ndarray]]:
+    """Yield episodes; ``shard``/``num_shards`` round-robin the episode
+    files across hosts so each host loads a disjoint replay shard
+    (multi-host ingestion — no cross-host replay traffic)."""
     eps_fns = sorted(replay_dir.glob("*.npz"))
+    if num_shards > 1:
+        eps_fns = eps_fns[shard::num_shards]
     if limit is not None:
         eps_fns = eps_fns[:limit]
     for fn in eps_fns:

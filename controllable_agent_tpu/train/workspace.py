@@ -420,19 +420,25 @@ class OfflineWorkspace(Workspace):
     """Pure gradient-step training over a loaded buffer
     (reference train_offline.py:101-134)."""
 
+    def _make_offline_trainer(self) -> tp.Callable:
+        """Trainer-construction hook; the multi-host workspace overrides
+        this with a mesh-sharded trainer (train_multihost.py)."""
+        trainer = make_offline_trainer(
+            self.agent, self.buffer.cfg, self.agent.cfg.batch_size,
+            steps_per_call=self.cfg.steps_per_call)
+        return lambda state, key: trainer(state, self.buffer.state, key)
+
     def train(self) -> None:
         cfg = self.cfg
         assert len(self.buffer) > 0, "offline training requires a loaded buffer"
-        trainer = make_offline_trainer(
-            self.agent, self.buffer.cfg, self.agent.cfg.batch_size,
-            steps_per_call=cfg.steps_per_call)
+        trainer = self._make_offline_trainer()
         log_every = max(cfg.log_every_steps, cfg.steps_per_call)
         steps_since_log = 0
         while self.global_step < cfg.num_grad_steps:
             prev_step = self.global_step
             with self._profile_ctx():
                 self.agent_state, metrics = trainer(
-                    self.agent_state, self.buffer.state, self.keys.next())
+                    self.agent_state, self.keys.next())
             self.global_step += cfg.steps_per_call
             steps_since_log += cfg.steps_per_call
             self._maybe_snapshot(prev_step)

@@ -103,3 +103,40 @@ def test_train_offline_cli_from_replay_checkpoint(tmp_path) -> None:
     import json
     meta = json.loads((folder / "models" / "latest" / "meta.json").read_text())
     assert meta["global_step"] == 10  # replay-only restore: step NOT inherited
+
+
+def test_train_multihost_cli_single_process(exorl_dir, tmp_path) -> None:
+    """train_multihost CLI, single-process: distributed init is a no-op,
+    the shard is the full episode set, and the fused trainer runs
+    data-parallel over the virtual 8-device mesh."""
+    from controllable_agent_tpu.train_multihost import main as mh_main
+
+    folder = tmp_path / "xp_mh"
+    mh_main([
+        "agent=fb_ddpg", "task=walker_walk", "goal_space=simplified_walker",
+        f"replay_dir={exorl_dir}", "relabel=true",
+        "num_grad_steps=20", "steps_per_call=10", "eval_every_steps=20",
+        "checkpoint_every=1000", "num_eval_episodes=2", "episode_length=20",
+        "final_tests=0",
+        "replay_buffer_episodes=8", f"folder={folder}", "use_console=false",
+        "agent.hidden_dim=32", "agent.backward_hidden_dim=32",
+        "agent.feature_dim=16", "agent.z_dim=8", "agent.batch_size=16",
+        "agent.num_inference_steps=32",
+    ])
+    assert (folder / "train.csv").exists()
+    assert (folder / "models" / "latest" / "meta.json").exists()
+    import json
+    meta = json.loads((folder / "models" / "latest" / "meta.json").read_text())
+    assert meta["global_step"] == 20
+
+
+def test_exorl_shard_loading(exorl_dir) -> None:
+    """Round-robin episode-file sharding across hosts: disjoint, covering."""
+    from controllable_agent_tpu.data.exorl import load_exorl_episodes
+
+    full = list(load_exorl_episodes(exorl_dir))
+    s0 = list(load_exorl_episodes(exorl_dir, shard=0, num_shards=2))
+    s1 = list(load_exorl_episodes(exorl_dir, shard=1, num_shards=2))
+    assert len(s0) + len(s1) == len(full) == 4
+    np.testing.assert_array_equal(s0[0]["observation"], full[0]["observation"])
+    np.testing.assert_array_equal(s1[0]["observation"], full[1]["observation"])
