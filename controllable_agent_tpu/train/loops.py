@@ -73,8 +73,9 @@ def init_meta_batched(agent: tp.Any, state: tp.Any, key: jax.Array,
 
 def make_episode_collector(env: Environment, agent: tp.Any,
                            num_envs: int,
-                           goal_fn: tp.Optional[tp.Callable[[Array], Array]] = None
-                           ) -> tp.Callable:
+                           goal_fn: tp.Optional[tp.Callable[[Array], Array]] = None,
+                           mesh: tp.Optional[tp.Any] = None,
+                           mesh_axis: str = "dp") -> tp.Callable:
     """Returns jitted ``collect(train_state, meta, keys, step, act_key) ->
     trajectory``.
 
@@ -84,12 +85,26 @@ def make_episode_collector(env: Environment, agent: tp.Any,
     agent's rollout_update_meta. The trajectory pytree has leading dims
     [T+1, num_envs, ...] — including the episode's FIRST dummy transition,
     matching the replay layout (url_benchmark/in_memory_replay_buffer.py:104-133).
+
+    With ``mesh``, the env-instance axis is sharded over ``mesh_axis``:
+    each device steps its slice of the vectorized envs (policy params
+    replicated), so env-steps/s scales with the mesh — the north-star
+    env-throughput axis (SURVEY §2.8). ``num_envs`` must be a multiple of
+    the mesh size.
     """
     T = env.spec.episode_length
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        env_shard = NamedSharding(mesh, PartitionSpec(mesh_axis))
 
     def collect(train_state: tp.Any, meta: tp.Dict[str, Array],
                 keys: jax.Array, step: Array,
                 act_key: jax.Array) -> tp.Dict[str, Array]:
+        if mesh is not None:
+            keys = jax.lax.with_sharding_constraint(keys, env_shard)
+            meta = jax.tree.map(
+                lambda m: jax.lax.with_sharding_constraint(m, env_shard),
+                meta)
         env_states, first_ts = jax.vmap(env.reset)(keys)
 
         def scan_body(carry, t):
@@ -139,7 +154,8 @@ class OnlineTrainer:
                  buffer: tp.Any, num_envs: int = 1,
                  goal_fn: tp.Optional[tp.Callable[[Array], Array]] = None,
                  updates_per_step: float = 0.5,
-                 max_steps_per_call: int = 200) -> None:
+                 max_steps_per_call: int = 200,
+                 mesh: tp.Optional[tp.Any] = None) -> None:
         self.env = env
         self.agent = agent
         self.buffer = buffer
@@ -150,7 +166,9 @@ class OnlineTrainer:
         # runtime watchdog and kill the worker; chunking costs nothing
         # (dispatch overhead is ~0 at >=50-step calls, see bench)
         self.max_steps_per_call = max_steps_per_call
-        self.collect = make_episode_collector(env, agent, num_envs, goal_fn)
+        self.mesh = mesh
+        self.collect = make_episode_collector(env, agent, num_envs, goal_fn,
+                                              mesh=mesh)
         self._trainers: tp.Dict[int, tp.Callable] = {}
         self.global_step = 0
         self.global_episode = 0
@@ -179,9 +197,15 @@ class OnlineTrainer:
             while done < n_updates:
                 chunk = min(self.max_steps_per_call, n_updates - done)
                 if chunk not in self._trainers:
-                    self._trainers[chunk] = make_offline_trainer(
-                        self.agent, self.buffer.cfg,
-                        self.agent.cfg.batch_size, steps_per_call=chunk)
+                    if self.mesh is not None:
+                        from ..parallel.mesh import make_dp_offline_trainer
+                        self._trainers[chunk] = make_dp_offline_trainer(
+                            self.agent, self.buffer.cfg,
+                            self.agent.cfg.batch_size, chunk, self.mesh)
+                    else:
+                        self._trainers[chunk] = make_offline_trainer(
+                            self.agent, self.buffer.cfg,
+                            self.agent.cfg.batch_size, steps_per_call=chunk)
                 k_train, k_chunk = jax.random.split(k_train)
                 train_state, m = self._trainers[chunk](
                     train_state, self.buffer.state, k_chunk)

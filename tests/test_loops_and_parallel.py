@@ -191,3 +191,23 @@ def test_exorl_export_roundtrip(tmp_path) -> None:
     np.testing.assert_allclose(
         np.asarray(buf2.state.storage["observation"]),
         np.asarray(buf.state.storage["observation"]), rtol=1e-6)
+
+
+def test_online_trainer_cycle_on_mesh() -> None:
+    """Full online cycle with the env axis SHARDED over the 8-device mesh
+    (each device steps its env slice; updates run data-parallel). This is
+    the env-steps/s scaling axis from SURVEY §2.8."""
+    from controllable_agent_tpu.parallel.mesh import make_mesh as _mk
+    env = PointMassMaze("reach_top_left", episode_length=10)
+    agent = FBDDPGAgent(FBDDPGConfig(**_SMALL), obs_dim=4, action_dim=2)
+    buf = ReplayBuffer(max_episodes=16, discount=0.98, future=0.99,
+                       max_episode_length=10)
+    mesh = _mk(8)
+    trainer = OnlineTrainer(env, agent, buf, num_envs=8,
+                            updates_per_step=0.1, mesh=mesh)
+    state = agent.init(jax.random.key(0))
+    state, metrics = trainer.run_cycle(state, jax.random.key(1))
+    assert len(buf) == 8
+    assert trainer.global_step == 80
+    assert int(state.step) == 8  # 80 steps * 0.1
+    assert np.isfinite(metrics["episode_reward"])
