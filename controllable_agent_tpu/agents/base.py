@@ -53,6 +53,31 @@ class ZMetaMixin:
         return self.act(state, obs, meta[self.meta_key], step, key,
                         eval_mode=eval_mode)
 
+    def infer_meta(self, state: tp.Any, buffer: tp.Any,
+                   key: jax.Array) -> MetaDict:
+        """Generic task inference from a replay buffer's STORED rewards
+        (reference agent.infer_meta, fb_ddpg.py:188-199 — the eval-meta
+        fallback path, pretrain.py:184-186): sample num_inference_steps
+        transitions and regress z on them; agents without a regression API
+        fall back to a random task vector."""
+        cfg = self.cfg
+        n = getattr(cfg, "num_inference_steps", 5120)
+        k_sample, k_init = jax.random.split(key)
+        has_sa = hasattr(self, "infer_meta_from_obs_action_and_rewards")
+        has_s = hasattr(self, "infer_meta_from_obs_and_rewards")
+        if not (has_sa or has_s) or len(buffer) == 0:
+            return self.init_meta(state, k_init)
+        batch = buffer.sample(k_sample, n)
+        obs = (batch.next_goal
+               if (getattr(cfg, "goal_space", None) is not None
+                   and batch.next_goal is not None) else batch.next_obs)
+        if has_sa:
+            z = self.infer_meta_from_obs_action_and_rewards(
+                state, obs, batch.action, batch.reward)
+        else:
+            z = self.infer_meta_from_obs_and_rewards(state, obs, batch.reward)
+        return {self.meta_key: z}
+
     def rollout_update_meta(self, state: tp.Any, meta: MetaDict,
                             t: jnp.ndarray, key: jax.Array) -> MetaDict:
         """Resample the task vector every update_z_every_step env steps

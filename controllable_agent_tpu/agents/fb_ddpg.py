@@ -84,6 +84,9 @@ class FBDDPGConfig:
     q_loss_coef: float = 0.01
     add_trunk: bool = False
     num_expl_steps: int = 0
+    # extra eval diagnostics (z_correl / actor_success; reference
+    # fb_ddpg.py:44 additional_metric, computed in eval pretrain.py:404-413)
+    additional_metric: bool = False
     compute_dtype: str = "float32"  # "bfloat16" runs net matmuls on the MXU in bf16
     # Pallas fused loss: tiles the batchxbatch measure matrices through
     # VMEM instead of materializing them in HBM (ops/pallas_fb.py).
@@ -144,6 +147,9 @@ class FBDDPGAgent(ZMetaMixin):
         self.act = jax.jit(self._act, static_argnames=("eval_mode",))
         self.get_goal_meta = jax.jit(self._get_goal_meta)
         self.infer_meta_from_obs_and_rewards = jax.jit(self._infer_meta)
+        self._maybe_resample_z = jax.jit(self._maybe_resample_z_impl)
+        self.compute_z_correl = jax.jit(self._compute_z_correl)
+        self.compute_actor_success = jax.jit(self._compute_actor_success)
 
     # ------------------------------------------------------------------
     def init(self, key: jax.Array) -> FBTrainState:
@@ -177,12 +183,18 @@ class FBDDPGAgent(ZMetaMixin):
     def update_meta(self, state: FBTrainState, meta: MetaDict, global_step: int,
                     key: jax.Array) -> MetaDict:
         """Resample z every update_z_every_step env steps (reference
-        fb_ddpg.py:246-256). Host-side loop control."""
+        fb_ddpg.py:246-256). Host-side loop control; the resample decision
+        stays on device (no blocking host sync — the scan-internal
+        rollout_update_meta is the hot path, this is the API-parity hook)."""
         if global_step % self.cfg.update_z_every_step == 0:
-            k1, k2 = jax.random.split(key)
-            if float(jax.random.uniform(k1)) < self.cfg.update_z_proba:
-                return self.init_meta(state, k2)
+            return {"z": self._maybe_resample_z(meta["z"], key)}
         return meta
+
+    def _maybe_resample_z_impl(self, z: Array, key: jax.Array) -> Array:
+        k_p, k_z = jax.random.split(key)
+        new_z = self.sample_z(k_z, 1)[0]
+        take = jax.random.uniform(k_p) < self.cfg.update_z_proba
+        return jnp.where(take, new_z, z)
 
     def _get_goal_meta(self, state: FBTrainState, goal: Array) -> Array:
         """Zero-shot z from a goal state: z = B(g) (reference fb_ddpg.py:177-186)."""
@@ -200,6 +212,41 @@ class FBDDPGAgent(ZMetaMixin):
         if self.cfg.norm_z:
             z = l2_normalize(z)
         return z[0]
+
+    # -- eval diagnostics -------------------------------------------------
+    def _compute_z_correl(self, state: FBTrainState, goals: Array,
+                          z: Array) -> Array:
+        """Mean L1-normalized correlation between B(goal_t) and the eval z
+        over a batch of visited goals (reference compute_z_correl,
+        fb_ddpg.py:283-289 — there per-step on host; here one batched
+        forward over the whole eval trajectory)."""
+        b = self.backward_net.apply(state.backward_params, goals)
+        b = b.astype(jnp.float32)
+        b = b / jnp.maximum(jnp.sum(jnp.abs(b), -1, keepdims=True), 1e-12)
+        zn = z / jnp.maximum(jnp.sum(jnp.abs(z)), 1e-12)
+        return jnp.mean(jnp.einsum("nd,d->n", b, zn, precision=_PREC))
+
+    def _compute_actor_success(self, state: FBTrainState, obs: Array,
+                               z: Array, key: jax.Array) -> Array:
+        """Fraction of states where Q(actor mean action) beats Q(uniform
+        random action) (reference additional_metric path, fb_ddpg.py:269-276)."""
+        zb = jnp.broadcast_to(z, (obs.shape[0],) + z.shape[-1:])
+        if self.cfg.boltzmann:
+            mu, _ = self.actor.apply(state.actor_params, obs, zb)
+            mu = jnp.tanh(mu)
+        else:
+            mu = self.actor.apply(state.actor_params, obs, zb)
+        rand = jax.random.uniform(key, mu.shape, minval=-1.0, maxval=1.0)
+
+        def q_of(action: Array) -> Array:
+            f1, f2 = self.forward_net.apply(state.forward_params, obs, zb,
+                                            action)
+            f1, f2 = f1.astype(jnp.float32), f2.astype(jnp.float32)
+            return jnp.minimum(
+                jnp.einsum("sd,sd->s", f1, zb, precision=_PREC),
+                jnp.einsum("sd,sd->s", f2, zb, precision=_PREC))
+
+        return jnp.mean((q_of(mu) > q_of(rand)).astype(jnp.float32))
 
     # -- acting ---------------------------------------------------------
     def _act(self, state: FBTrainState, obs: Array, z: Array, step: Array,

@@ -27,12 +27,14 @@ def load_exorl_episodes(replay_dir: Path,
                         ) -> tp.Iterator[tp.Dict[str, np.ndarray]]:
     """Yield episodes; ``shard``/``num_shards`` round-robin the episode
     files across hosts so each host loads a disjoint replay shard
-    (multi-host ingestion — no cross-host replay traffic)."""
+    (multi-host ingestion — no cross-host replay traffic). ``limit`` is a
+    GLOBAL cap applied before sharding, so total load across hosts is
+    ``limit`` regardless of num_shards."""
     eps_fns = sorted(replay_dir.glob("*.npz"))
-    if num_shards > 1:
-        eps_fns = eps_fns[shard::num_shards]
     if limit is not None:
         eps_fns = eps_fns[:limit]
+    if num_shards > 1:
+        eps_fns = eps_fns[shard::num_shards]
     for fn in eps_fns:
         yield load_episode(fn)
 

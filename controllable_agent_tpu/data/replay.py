@@ -169,6 +169,13 @@ def sample(state: ReplayState, key: jax.Array, batch_size: int,
     )
 
 
+# Hoisted jitted sampler for the host-side wrapper below: a module-level
+# wrapper keeps ONE trace cache; re-wrapping jax.jit per call would retrace
+# on every eval/inference sample (5120-sample inference every eval).
+_jitted_sample = jax.jit(sample, static_argnums=(2,),
+                         static_argnames=("with_physics",))
+
+
 class ReplayBuffer:
     """Host-side convenience wrapper with reference-compatible API.
 
@@ -239,7 +246,7 @@ class ReplayBuffer:
                with_physics: bool = False) -> EpisodeBatch:
         assert self.state is not None, "empty replay buffer"
         need_phys = with_physics or custom_reward is not None
-        batch = jax.jit(sample, static_argnums=(2,), static_argnames=("with_physics",))(
+        batch = _jitted_sample(
             self.state, key, batch_size, self.cfg, with_physics=need_phys)
         if custom_reward is not None:
             phys = np.asarray(batch.physics)

@@ -96,6 +96,11 @@ def load_checkpoint(path: tp.Union[str, Path],
     pretrain.py:451-494)."""
     path = Path(path)
     templates = templates or {}
+    # a leftover <name>.tmp means a save was interrupted mid-write; the
+    # committed checkpoint at ``path`` is the valid one — clean the orphan
+    orphan = path.with_name(path.name + ".tmp")
+    if orphan.exists():
+        shutil.rmtree(orphan)
     meta = json.loads((path / "meta.json").read_text())
     saved = [k for k in meta["keys"] if k not in ("global_step", "global_episode")]
     keys = [k for k in saved

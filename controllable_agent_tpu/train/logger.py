@@ -193,7 +193,9 @@ class Logger:
     """Facade over train/eval MetersGroups + jsonl (reference logger.py:146-209)."""
 
     def __init__(self, log_dir: tp.Union[str, Path], use_console: bool = True,
-                 use_jsonl: bool = True, use_tb: bool = False) -> None:
+                 use_jsonl: bool = True, use_tb: bool = False,
+                 use_wandb: bool = False,
+                 wandb_config: tp.Optional[tp.Mapping[str, tp.Any]] = None) -> None:
         self._log_dir = Path(log_dir)
         self._log_dir.mkdir(parents=True, exist_ok=True)
         self._train_mg = MetersGroup(self._log_dir / "train.csv",
@@ -209,6 +211,16 @@ class Logger:
         if use_tb:
             from tensorboardX import SummaryWriter
             self._tb = SummaryWriter(str(self._log_dir / "tb"))
+        # wandb sink (reference pretrain.py:253-258 init, logger.py:129-140
+        # per-metric log). Import deferred and explicit: use_wandb without
+        # the package installed is a configuration error, not a silent no-op.
+        self._wandb = None
+        if use_wandb:
+            import wandb
+            if wandb.run is None:
+                wandb.init(dir=str(self._log_dir),
+                           config=dict(wandb_config or {}))
+            self._wandb = wandb
         self.extra_sinks: tp.List[tp.Callable[[str, float, int], None]] = []
 
     def log(self, key: str, value: Value, step: int) -> None:
@@ -219,8 +231,20 @@ class Logger:
             self.hiplog(**{key.replace("/", "_"): float(value)})
         if self._tb is not None:
             self._tb.add_scalar(key, float(value), step)
+        if self._wandb is not None:
+            self._wandb.log({key: float(value)}, step=step)
         for sink in self.extra_sinks:
             sink(key, float(value), step)
+
+    def log_video(self, key: str, frames: tp.Any, step: int,
+                  fps: int = 20) -> None:
+        """Forward an eval video to wandb when active (reference
+        video.py:50-56); the file itself is saved by VideoRecorder."""
+        if self._wandb is not None:
+            import numpy as np
+            arr = np.asarray(frames).transpose(0, 3, 1, 2)
+            self._wandb.log({key: self._wandb.Video(arr, fps=fps,
+                                                    format="mp4")}, step=step)
 
     def log_metrics(self, metrics: tp.Mapping[str, Value], step: int,
                     ty: str) -> None:

@@ -42,6 +42,23 @@ class FloatStats:
         self._m2 += delta * (value - self.mean)
         return self
 
+    def add_array(self, values: np.ndarray) -> "FloatStats":
+        """Vectorized bulk update (Chan et al. parallel merge) — one call
+        per eval instead of one host call per step."""
+        values = np.asarray(values, np.float64).ravel()
+        n = values.size
+        if n == 0:
+            return self
+        self.min = min(self.min, float(values.min()))
+        self.max = max(self.max, float(values.max()))
+        mean = float(values.mean())
+        delta = mean - self.mean
+        total = self.count + n
+        self._m2 += float(values.var()) * n + delta ** 2 * self.count * n / total
+        self.mean += delta * n / total
+        self.count = total
+        return self
+
     @property
     def std(self) -> float:
         return float(np.sqrt(self._m2 / max(1, self.count)))
@@ -72,6 +89,17 @@ class PhysicsAggregator:
     def add_trajectory(self, physics_traj: np.ndarray) -> None:
         for row in np.asarray(physics_traj):
             self.add(row)
+
+    def add_batch(self, physics_batch: np.ndarray) -> None:
+        """Aggregate a whole [N, physics_dim] batch: the features_fn runs
+        ONCE (one device launch for jax feature fns) and the per-feature
+        stats update is vectorized."""
+        feats = (np.asarray(self._features_fn(physics_batch))
+                 if self._features_fn is not None
+                 else np.asarray(physics_batch))
+        for i, name in enumerate(self.names):
+            if i < feats.shape[-1]:
+                self.stats.setdefault(name, FloatStats()).add_array(feats[..., i])
 
     def dump(self) -> tp.Iterator[tp.Tuple[str, float]]:
         for name, stat in self.stats.items():

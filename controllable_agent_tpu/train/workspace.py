@@ -83,6 +83,10 @@ class WorkspaceConfig:
     folder: str = "exp_local"
     use_console: bool = True
     use_tb: bool = False  # TensorBoard sink (reference logger.py:161-167)
+    use_wandb: bool = False  # wandb sink (reference pretrain.py:253-258)
+    # save an eval rollout video every eval (reference pretrain.py:297-300,
+    # 419-427; recorded from the returned physics trajectory, first episode)
+    save_eval_video: bool = True
     # when set, one post-seed training cycle is captured with
     # jax.profiler.trace into this dir (viewable in TensorBoard/XProf)
     profile_dir: tp.Optional[str] = None
@@ -170,7 +174,9 @@ class Workspace:
             future=cfg.future,
             max_episode_length=self.env.spec.episode_length)
         self.logger = Logger(self.work_dir, use_console=cfg.use_console,
-                             use_tb=cfg.use_tb)
+                             use_tb=cfg.use_tb, use_wandb=cfg.use_wandb,
+                             wandb_config=dataclasses.asdict(cfg))
+        self._video_recorder: tp.Optional[tp.Any] = None
         self._profiled = False
         self.timer = Timer()
         self.global_step = 0
@@ -193,8 +199,11 @@ class Workspace:
         agent, state = self.agent, self.agent_state
         meta_key = getattr(agent, "meta_key", None)
         can_goal = hasattr(agent, "get_goal_meta") and meta_key is not None
-        can_infer = (hasattr(agent, "infer_meta_from_obs_and_rewards")
-                     and meta_key is not None)
+        # either regression API counts: (obs, r) or the SVD family's
+        # action-conditioned (obs, a, r) (reference pretrain.py:177-186)
+        can_infer = meta_key is not None and (
+            hasattr(agent, "infer_meta_from_obs_and_rewards")
+            or hasattr(agent, "infer_meta_from_obs_action_and_rewards"))
         # gridworld: goal-obs path
         if hasattr(self.env, "get_goal_obs") and can_goal:
             env_state, _ = self.env.reset(self.keys.next())
@@ -223,21 +232,29 @@ class Workspace:
         return dict(agent.init_meta(state, self.keys.next()))
 
     def _infer_meta_from_replay(self, custom_reward: tp.Optional[tp.Any]) -> Array:
-        """z = rᵀB/N over num_inference_steps relabeled samples
-        (reference pretrain.py:166-184)."""
+        """z regression over num_inference_steps relabeled samples:
+        z = rᵀB/N for FB-style agents, lstsq(φ(s[,a]), r) for SF/SVD —
+        action-conditioned dispatch for the SVD family (reference
+        pretrain.py:166-184 and the SVD branch :177-180)."""
         agent, state = self.agent, self.agent_state
         n = getattr(agent.cfg, "num_inference_steps", 5120)
         batch = self.buffer.sample(
             self.keys.next(), n,
             custom_reward=(custom_reward.from_physics if custom_reward else None))
-        obs = batch.next_goal if (self.cfg.goal_space is not None
-                                  and batch.next_goal is not None) else batch.next_obs
+        obs = batch.next_obs if (self.cfg.goal_space is None
+                                 or batch.next_goal is None) else batch.next_goal
+        if hasattr(agent, "infer_meta_from_obs_action_and_rewards"):
+            return agent.infer_meta_from_obs_action_and_rewards(
+                state, obs, batch.action, batch.reward)
         return agent.infer_meta_from_obs_and_rewards(state, obs, batch.reward)
 
     def _make_eval_fn(self) -> tp.Callable:
         env, agent = self.env, self.agent
         T = env.spec.episode_length
         discrete = env.spec.discrete_actions
+        # pixel obs trajectories would be ~100s of MB per eval; diagnostics
+        # that need per-step observations are states-only
+        keep_obs = not env.spec.obs_shape
 
         def one_episode(state: tp.Any, meta: tp.Dict[str, Array],
                         key: jax.Array) -> tp.Tuple[Array, Array, Array]:
@@ -252,11 +269,12 @@ class Workspace:
                                           eval_mode=True)
                 a = action[0]
                 env_state, ts = env.step(env_state, a)
-                return (env_state, ts, total + ts.reward), ts.physics
+                out = (ts.physics, ts.observation if keep_obs else None)
+                return (env_state, ts, total + ts.reward), out
 
-            (env_state, ts, total), physics = jax.lax.scan(
+            (env_state, ts, total), (physics, obs) = jax.lax.scan(
                 body, (env_state, ts, jnp.zeros(())), None, length=T)
-            return total, physics, ts.observation
+            return total, physics, (obs if keep_obs else ts.observation)
 
         def eval_all(state_: tp.Any, meta: tp.Dict[str, Array],
                      keys: jax.Array):
@@ -265,16 +283,38 @@ class Workspace:
 
         return jax.jit(eval_all)
 
+    def _base_env(self) -> Environment:
+        env = self.env
+        while hasattr(env, "env"):
+            env = env.env
+        return env
+
+    def _record_eval_video(self, physics: np.ndarray) -> None:
+        """Save the first eval episode as a video file (reference saves an
+        eval video every eval, pretrain.py:297-300,419-427; video.py:14-66).
+        Frames are strided so a video is at most ~250 frames."""
+        from .video import Renderer, VideoRecorder
+        if self._video_recorder is None:
+            self._video_recorder = VideoRecorder(
+                self.work_dir, Renderer(self.domain, self._base_env()))
+        stride = max(1, physics.shape[0] // 250)
+        self._video_recorder.frames = []
+        self._video_recorder.enabled = True
+        self._video_recorder.record_trajectory(physics[::stride])
+        self._video_recorder.save(f"{self.global_step}.mp4")
+        self.logger.log_video("eval/video", self._video_recorder.frames,
+                              self.global_step)
+
     def evaluate(self) -> tp.Dict[str, float]:
         if self._eval_fn is None:
             self._eval_fn = self._make_eval_fn()
         meta = self._init_eval_meta()
         keys = jax.random.split(self.keys.next(), self.cfg.num_eval_episodes)
-        totals, physics, _ = self._eval_fn(self.agent_state, meta, keys)
+        totals, physics, obs = self._eval_fn(self.agent_state, meta, keys)
         totals = np.asarray(totals)
+        phys = np.asarray(physics)  # [episodes, T, phys_dim]
         if self.cfg.custom_reward is not None:
             reward = get_reward_function(self.cfg.custom_reward, self.cfg.seed)
-            phys = np.asarray(physics)  # [episodes, T, phys_dim]
             r = reward.from_physics(phys.reshape(-1, phys.shape[-1]))
             totals = np.asarray(r).reshape(phys.shape[0], phys.shape[1]).sum(1)
         metrics = {
@@ -283,11 +323,54 @@ class Workspace:
             "episode": float(self.global_episode),
             "step": float(self.global_step),
         }
+        if totals.size > 1:
+            metrics["episode_reward#std"] = float(totals.std())
+        meta_key = getattr(self.agent, "meta_key", None)
+        if meta_key in meta:
+            metrics["z_norm"] = float(np.linalg.norm(np.asarray(meta[meta_key])))
+        metrics.update(self._eval_diagnostics(meta, phys, obs))
+        # physics stats in every eval dump (reference PhysicsAggregator,
+        # dmc.py:460-477, logged pretrain.py:404-417)
+        from .physics_stats import PhysicsAggregator
+        agg = PhysicsAggregator(
+            self.domain, features_fn=getattr(self._base_env(),
+                                             "goal_features", None))
+        agg.add_batch(phys.reshape(-1, phys.shape[-1]))
+        metrics.update({k: v for k, v in agg.dump()})
+        if self.cfg.save_eval_video:
+            self._record_eval_video(phys[0])
         self.eval_rewards_history.append(metrics["episode_reward"])
         with self.logger.log_and_dump_ctx(self.global_step, ty="eval") as log:
             for k, v in metrics.items():
                 log(k, v)
         return metrics
+
+    def _eval_diagnostics(self, meta: tp.Dict[str, Array], phys: np.ndarray,
+                          obs: tp.Any) -> tp.Dict[str, float]:
+        """FB health diagnostics, batched over the whole eval rollout set
+        (reference z_correl/actor_success, fb_ddpg.py:269-289 +
+        pretrain.py:410-413; gated by agent.cfg.additional_metric)."""
+        agent, state = self.agent, self.agent_state
+        if not (getattr(agent.cfg, "additional_metric", False)
+                and hasattr(agent, "compute_z_correl") and "z" in meta):
+            return {}
+        T = phys.shape[1]
+        flat_phys = jnp.asarray(phys.reshape(-1, phys.shape[-1]))
+        out: tp.Dict[str, float] = {}
+        obs_flat = None
+        if isinstance(obs, jnp.ndarray) and obs.ndim == 3:
+            obs_flat = obs.reshape(-1, obs.shape[-1])
+        goals = (self.goal_fn(flat_phys) if self.goal_fn is not None
+                 else obs_flat)
+        if goals is not None:
+            # reference accumulates one dot per step and divides by
+            # episodes — i.e. T × the per-step mean
+            out["z_correl"] = float(agent.compute_z_correl(
+                state, goals, meta["z"])) * T
+        if obs_flat is not None and hasattr(agent, "compute_actor_success"):
+            out["actor_success"] = float(agent.compute_actor_success(
+                state, obs_flat, meta["z"], self.keys.next()))
+        return out
 
     def eval_maze_goals(self) -> tp.Dict[str, float]:
         """20-goal maze sweep: per-goal reward and distance
@@ -340,7 +423,8 @@ class Workspace:
         }
         if self.domain not in domain_tasks:
             return {}
-        if not (hasattr(self.agent, "infer_meta_from_obs_and_rewards")
+        if not ((hasattr(self.agent, "infer_meta_from_obs_and_rewards")
+                 or hasattr(self.agent, "infer_meta_from_obs_action_and_rewards"))
                 and len(self.buffer) > 0
                 and "physics" in self.buffer.state.storage):
             return {}

@@ -37,6 +37,9 @@ import jax
 def _build_workspace_class():
     """Deferred class creation: on real pods every jax device query must
     come after jax.distributed initialization in main()."""
+    import contextlib
+
+    from .parallel.multihost import host_local_state
     from .train.workspace import OfflineWorkspace
 
     class _MultiHostOfflineWorkspace(OfflineWorkspace):
@@ -47,22 +50,38 @@ def _build_workspace_class():
                 steps_per_call=self.cfg.steps_per_call)
             return lambda state, key: self._mh_trainer.step(state, key)
 
+        @contextlib.contextmanager
+        def _local_agent_state(self) -> tp.Iterator[None]:
+            """Swap the (replicated, global-mesh) agent state for a
+            host-local copy so eval jits dispatch from this process alone
+            — dispatching a global array from one process would either
+            raise (non-fully-addressable) or deadlock a collective."""
+            global_state = self.agent_state
+            self.agent_state = host_local_state(global_state)
+            try:
+                yield
+            finally:
+                self.agent_state = global_state
+
         # host-0-only side effects; the SPMD train step runs everywhere
         def evaluate(self) -> tp.Dict[str, float]:
             if jax.process_index() != 0:
                 return {}
-            return super().evaluate()
+            with self._local_agent_state():
+                return super().evaluate()
 
         def finalize(self) -> tp.Dict[str, tp.List[float]]:
             if jax.process_index() != 0:
                 return {}
-            return super().finalize()
+            with self._local_agent_state():
+                return super().finalize()
 
         def save_checkpoint(self, path: tp.Optional[Path] = None,
                             **kwargs: tp.Any) -> None:
             if jax.process_index() != 0:
                 return
-            super().save_checkpoint(path, **kwargs)
+            with self._local_agent_state():
+                super().save_checkpoint(path, **kwargs)
 
     return _MultiHostOfflineWorkspace
 
@@ -108,7 +127,13 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     agent_name, ws_overrides, agent_overrides = split_overrides(rest)
     cfg = apply_overrides(WorkspaceConfig(agent_name=agent_name), ws_overrides)
     if jax.process_index() != 0:
-        cfg.use_console = False
+        # WorkspaceConfig is frozen; non-coordinator hosts log quietly into
+        # a per-process subfolder so train.csv/config.json on a shared
+        # filesystem never clobber host 0's
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, use_console=False,
+            folder=str(Path(cfg.folder) / f"host_{jax.process_index()}"))
     ws = _build_workspace_class()(cfg, agent_cfg_overrides=agent_overrides)
 
     if replay_dir is not None:
