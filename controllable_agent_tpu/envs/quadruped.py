@@ -420,6 +420,16 @@ class QuadrupedFetchEnv(QuadrupedEnv):
         pos = pos + h * vel
         return pos, vel, angvel
 
+    def goal_features(self, physics: Array) -> Array:
+        """Base quadruped features (8) + ball position (3) — the ball
+        columns feed the ``quadruped_positions`` goal space (reference
+        goals.py:116-120, registered only for fetch because the ball must
+        be present)."""
+        base = super().goal_features(physics)
+        ndof = self.model.ndof
+        ball = physics[..., 2 * ndof:2 * ndof + 3]
+        return jnp.concatenate([base, ball], axis=-1)
+
     def _obs_fetch(self, state: FetchState) -> Array:
         base = super()._obs(state)
         rot = p3d._euler_rot(state.q[3:6])

@@ -41,7 +41,9 @@ def get_goal_space_dim(name: str) -> int:
     """Dim lookup (reference goals.py:218-221) without instantiating envs:
     probe the registered space fn with a dummy feature vector."""
     domain, fn = goal_spaces.lookup(name)
-    probe_dim = {"point_mass_maze": 4, "walker": 6, "quadruped": 8,
+    # quadruped probe is 11: base features (8) + ball columns the fetch
+    # env appends for the quadruped_positions space
+    probe_dim = {"point_mass_maze": 4, "walker": 6, "quadruped": 11,
                  "grid": 4, "jaco": 3}[domain]
     return int(np.asarray(fn(jnp.zeros(probe_dim))).size)
 

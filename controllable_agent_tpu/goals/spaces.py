@@ -67,6 +67,18 @@ def quad_pos_speed(features: Array) -> Array:
     return features[..., jnp.asarray([0, 2, 3, 4, 5, 6, 7])]
 
 
+@goal_spaces("quadruped")
+def quadruped_positions(features: Array) -> Array:
+    """(ball - target, torso - target), target at the origin — 6D
+    (reference goals.py:116-120; commented out there because the ball only
+    exists in the fetch task — here the fetch env appends ball columns
+    8:11 to its goal features, envs/quadruped.py). Only meaningful with
+    task=quadruped_fetch."""
+    ball = features[..., 8:11]
+    torso = features[..., 2:5]
+    return jnp.concatenate([ball, torso], axis=-1)
+
+
 @goal_spaces("grid")
 def grid_simple(physics: Array) -> Array:
     """Normalized (y, x) agent position from gridworld physics [y,x,gy,gx]."""
@@ -110,6 +122,12 @@ def quadruped_walk() -> np.ndarray:
 @goals("simplified_quadruped")
 def quadruped_run() -> np.ndarray:
     return np.array([1.0, 6], dtype=np.float32)
+
+
+@goals("quadruped_positions")
+def quadruped_fetch() -> np.ndarray:
+    """Ball at the target and torso at the target (reference goals.py:157-160)."""
+    return np.zeros((6,), dtype=np.float32)
 
 
 @goals("simplified_point_mass_maze")

@@ -213,3 +213,23 @@ def test_fixed_base_root_immobile() -> None:
                                atol=1e-7)
     np.testing.assert_allclose(np.asarray(qd2[:6]), 0.0, atol=1e-7)
     assert np.abs(np.asarray(qd2[6:])).max() > 0  # joints still actuate
+
+
+def test_quadruped_positions_goal_space() -> None:
+    """quadruped_positions = (ball - target, torso - target) from the fetch
+    env's extended goal features (reference goals.py:116-120,157-160)."""
+    from controllable_agent_tpu.goals import spaces as gs
+
+    env = quadruped.make("quadruped_fetch", episode_length=50)
+    _, ts = env.reset(jax.random.key(0))
+    feats = env.goal_features(ts.physics)
+    assert feats.shape == (11,)
+    g = np.asarray(gs.quadruped_positions(feats))
+    assert g.shape == (6,)
+    ndof = env.model.ndof
+    np.testing.assert_allclose(g[:3], np.asarray(
+        ts.physics[2 * ndof:2 * ndof + 3]), atol=1e-6)  # ball pos
+    np.testing.assert_allclose(g[3:], np.asarray(ts.physics[:3]), atol=1e-6)
+    # the registered goal: everything at the origin target
+    _, goal_fn = gs.goals.lookup("quadruped_fetch")
+    np.testing.assert_allclose(goal_fn(), np.zeros(6))
