@@ -21,22 +21,69 @@ def load_episode(fn: Path) -> tp.Dict[str, np.ndarray]:
         return {k: episode[k].astype(np.float32) for k in episode.keys()}
 
 
+_MJ_WALKER_TORSO_Z = 1.3  # torso body offset, custom_dmc_tasks/walker.xml:24
+
+
+def mujoco_walker_physics_to_native(physics: np.ndarray) -> np.ndarray:
+    """Map dm_control walker MuJoCo states onto the planar engine's layout.
+
+    Real ExORL walker physics rows are MuJoCo ``[qpos(9), qvel(9)]`` with
+    qpos = [rootz, rootx, rooty, r_hip, r_knee, r_ankle, l_hip, l_knee,
+    l_ankle] and the torso's 1.3 m body offset baked into the model
+    (reference custom_dmc_tasks/walker.xml:24-30). The native engine stores
+    q = [x, z, theta, same 6 joints] with absolute torso height, so reward
+    relabeling / goal-feature extraction (envs/locomotion.py
+    walker_features_single) read the right columns:
+
+      x = qpos[rootx]   z = qpos[rootz] + 1.3   theta = qpos[rooty]
+
+    Root quantities (height, uprightness, velocities) — everything the
+    walker reward zoo and goal spaces consume — map exactly. Joint columns
+    pass through (same ordering). The angular-momentum goal feature is
+    recomputed with the NATIVE model's link inertias, an approximation for
+    foreign trajectories (documented cross-engine caveat).
+    """
+    q_mj, qd_mj = physics[..., :9], physics[..., 9:18]
+    perm = [1, 0] + list(range(2, 9))
+    q = q_mj[..., perm].copy()
+    q[..., 1] += _MJ_WALKER_TORSO_Z
+    qd = qd_mj[..., perm]
+    return np.concatenate([q, qd], axis=-1).astype(np.float32)
+
+
+PHYSICS_ADAPTERS: tp.Dict[str, tp.Optional[tp.Callable[[np.ndarray], np.ndarray]]] = {
+    "native": None,
+    "mujoco_walker": mujoco_walker_physics_to_native,
+}
+
+
 def load_exorl_episodes(replay_dir: Path,
                         limit: tp.Optional[int] = None,
-                        shard: int = 0, num_shards: int = 1
+                        shard: int = 0, num_shards: int = 1,
+                        physics_format: str = "native",
                         ) -> tp.Iterator[tp.Dict[str, np.ndarray]]:
     """Yield episodes; ``shard``/``num_shards`` round-robin the episode
     files across hosts so each host loads a disjoint replay shard
     (multi-host ingestion — no cross-host replay traffic). ``limit`` is a
     GLOBAL cap applied before sharding, so total load across hosts is
-    ``limit`` regardless of num_shards."""
+    ``limit`` regardless of num_shards. ``physics_format`` converts foreign
+    physics layouts to the native engines' (see PHYSICS_ADAPTERS) so
+    relabel/goal extraction work on real ExORL data."""
+    try:
+        adapter = PHYSICS_ADAPTERS[physics_format]
+    except KeyError:
+        raise ValueError(f"Unknown physics_format {physics_format!r}; "
+                         f"known: {sorted(PHYSICS_ADAPTERS)}") from None
     eps_fns = sorted(replay_dir.glob("*.npz"))
     if limit is not None:
         eps_fns = eps_fns[:limit]
     if num_shards > 1:
         eps_fns = eps_fns[shard::num_shards]
     for fn in eps_fns:
-        yield load_episode(fn)
+        ep = load_episode(fn)
+        if adapter is not None and "physics" in ep:
+            ep["physics"] = adapter(ep["physics"])
+        yield ep
 
 
 def save_exorl_episodes(replay_state: tp.Any, out_dir: Path) -> int:

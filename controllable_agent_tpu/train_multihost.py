@@ -97,6 +97,7 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     process_id: tp.Optional[int] = None
     replay_dir: tp.Optional[str] = None
     relabel = True
+    physics_format = "native"
     rest: tp.List[str] = []
     for arg in argv:
         key, _, val = arg.partition("=")
@@ -110,6 +111,8 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
             replay_dir = val
         elif key == "relabel":
             relabel = val.lower() == "true"
+        elif key == "physics_format":
+            physics_format = val  # foreign-physics adapter (data/exorl.py)
         else:
             rest.append(arg)
 
@@ -139,7 +142,7 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     if replay_dir is not None:
         episodes = load_exorl_episodes(
             Path(replay_dir), shard=jax.process_index(),
-            num_shards=jax.process_count())
+            num_shards=jax.process_count(), physics_format=physics_format)
         if relabel:
             reward_fn = get_reward_function(ws.cfg.task, ws.cfg.seed)
             episodes = (

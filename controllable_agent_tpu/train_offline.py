@@ -34,6 +34,7 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     replay_dir: tp.Optional[str] = None
     load_replay: tp.Optional[str] = None
     relabel = True
+    physics_format = "native"
     rest: tp.List[str] = []
     for arg in argv:
         if arg.startswith("replay_dir="):
@@ -42,6 +43,9 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
             load_replay = arg.split("=", 1)[1]
         elif arg.startswith("relabel="):
             relabel = arg.split("=", 1)[1].lower() == "true"
+        elif arg.startswith("physics_format="):
+            # foreign-physics adapter for real ExORL data (data/exorl.py)
+            physics_format = arg.split("=", 1)[1]
         else:
             rest.append(arg)
     ws = build_workspace(rest, offline=True)
@@ -58,7 +62,8 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
         if ws.goal_fn is not None:
             ws.buffer.set_goals(ws.goal_fn)
     if replay_dir is not None:
-        episodes = load_exorl_episodes(Path(replay_dir))
+        episodes = load_exorl_episodes(Path(replay_dir),
+                                       physics_format=physics_format)
         if relabel:
             reward_fn = get_reward_function(ws.cfg.task, ws.cfg.seed)
             episodes = (
