@@ -108,30 +108,69 @@ WALKER_STAND_HEIGHT = 1.2
 
 def cheetah_model() -> p2d.PlanarModel:
     """7 bodies: torso (horizontal), back thigh/shin/foot, front
-    thigh/shin/foot. 9 dof."""
-    r_t, l_t = 0.046, 1.0
-    dims = [(0.046, 0.29), (0.046, 0.3), (0.046, 0.188),   # back leg
-            (0.046, 0.266), (0.046, 0.212), (0.046, 0.14)]  # front leg
-    m = [p2d.capsule_mass(r_t, l_t) ]
-    inertia = [p2d.rod_inertia(m[0], l_t, r_t)]
-    for (r, l) in dims:
-        mm = p2d.capsule_mass(r, l)
-        m.append(mm)
-        inertia.append(p2d.rod_inertia(mm, l, r))
+    thigh/shin/foot. 9 dof.
+
+    Geometry, joint springs/damping/limits/gears, friction and the total
+    mass rescale (settotalmass=14) follow the reference MJCF
+    (custom_dmc_tasks/cheetah.xml:8-72). The zero pose is the *bent*
+    stance encoded by the MJCF body offsets — the legs zigzag, and each
+    joint is spring-loaded toward that stance."""
+    r = 0.046
+    # per-leg geoms: (com in body frame, capsule axis angle about y in
+    # deg, capsule half-length) straight from the MJCF
+    leg_geoms = [((0.1, -0.13), -218.0, 0.145),    # bthigh
+                 ((-0.14, -0.07), -116.0, 0.15),   # bshin
+                 ((0.03, -0.097), -15.0, 0.094),   # bfoot
+                 ((-0.07, -0.12), 30.0, 0.133),    # fthigh
+                 ((0.065, -0.09), -34.0, 0.106),   # fshin
+                 ((0.045, -0.07), -34.0, 0.07)]    # ffoot
+    # torso = main capsule (l=1) + head capsule folded in (parallel axis)
+    m_t = p2d.capsule_mass(r, 1.0)
+    m_h = p2d.capsule_mass(r, 0.3)
+    head_com = np.asarray([0.6, 0.1])
+    com0 = (m_h * head_com) / (m_t + m_h)
+    i0 = (p2d.rod_inertia(m_t, 1.0, r) + m_t * float((com0 ** 2).sum())
+          + p2d.rod_inertia(m_h, 0.3, r)
+          + m_h * float(((head_com - com0) ** 2).sum()))
+    mass = [m_t + m_h]
+    inertia = [i0]
+    com = [tuple(com0)]
+    for (c, _, hl) in leg_geoms:
+        mm = p2d.capsule_mass(r, 2 * hl)
+        mass.append(mm)
+        inertia.append(p2d.rod_inertia(mm, 2 * hl, r))
+        com.append(c)
+    scale = 14.0 / sum(mass)  # MJCF compiler settotalmass="14"
+    mass = [m * scale for m in mass]
+    inertia = [i * scale for i in inertia]
+
+    def ends(gi: int) -> tp.List[tp.Tuple[float, float]]:
+        (cx, cz), a, hl = leg_geoms[gi]
+        d = np.asarray([np.sin(np.deg2rad(a)), np.cos(np.deg2rad(a))])
+        return [(cx + hl * d[0], cz + hl * d[1]),
+                (cx - hl * d[0], cz - hl * d[1])]
+
+    bshin_lo = min(ends(1), key=lambda e: e[1])
+    fshin_lo = min(ends(4), key=lambda e: e[1])
+    head_tip = (0.6 + 0.15 * np.sin(np.deg2rad(50)),
+                0.1 + 0.15 * np.cos(np.deg2rad(50)))
+    contacts = ([(0, (-0.5, 0.0), r), (0, (0.5, 0.0), r),
+                 (0, head_tip, r), (2, bshin_lo, r), (5, fshin_lo, r)]
+                + [(3, e, r) for e in ends(2)]
+                + [(6, e, r) for e in ends(5)])
     return _build_model(
         parent=[-1, 0, 1, 2, 0, 4, 5],
-        anchor=[(0, 0), (-l_t / 2, 0), (0, -dims[0][1]), (0, -dims[1][1]),
-                (l_t / 2, 0), (0, -dims[3][1]), (0, -dims[4][1])],
-        com=[(0, 0)] + [(0, -l / 2) for (_, l) in dims],
-        mass=m, inertia=inertia,
-        contacts=[(0, (-l_t / 2, 0.0), r_t), (0, (l_t / 2, 0.0), r_t),
-                  (3, (0.0, -dims[2][1]), 0.046),
-                  (6, (0.0, -dims[5][1]), 0.046)],
-        gear=[120, 90, 60, 120, 60, 30],
+        anchor=[(0, 0), (-0.5, 0), (0.16, -0.25), (-0.28, -0.14),
+                (0.5, 0), (-0.14, -0.24), (0.13, -0.18)],
+        com=com, mass=mass, inertia=inertia,
+        contacts=contacts,
+        gear=[120, 90, 60, 90, 60, 30],
         damping=[6.0, 4.5, 3.0, 4.5, 3.0, 1.5],
-        limits=[(-0.52, 1.05), (-0.785, 0.785), (-0.4, 0.785),
-                (-1.0, 0.7), (-1.2, 0.87), (-0.5, 0.5)],
+        limits=[_deg(-30, 60), _deg(-50, 50), _deg(-230, 50),
+                _deg(-57, 0.4), _deg(-70, 50), _deg(-28, 28)],
         armature=[0.1] * 6,
+        stiffness=jnp.asarray([240.0, 180.0, 120.0, 180.0, 120.0, 60.0]),
+        friction=0.4,
     )
 
 
@@ -139,37 +178,42 @@ CHEETAH_INIT_Z = 0.7
 
 
 def hopper_model() -> p2d.PlanarModel:
-    """5 bodies: torso(root), pelvis, thigh, calf, foot. 7 dof."""
-    dims = [(0.05, 0.3),    # torso (vertical)
-            (0.065, 0.2),   # pelvis
-            (0.04, 0.33),   # thigh
-            (0.035, 0.32),  # calf
-            (0.04, 0.2)]    # foot (forward)
+    """5 bodies: torso(root), pelvis, thigh, calf, foot. 7 dof.
+
+    Geometry and joint params follow the reference MJCF
+    (custom_dmc_tasks/hopper.xml:10-64): torso capsule (0,-.05)..(0,.2),
+    pelvis .15, thigh .33, calf .32, forward foot (-.08,0)..(.17,0);
+    damping .05 / armature .2 on every joint (the class defaults)."""
+    # (radius, length, com in body frame)
+    geoms = [(0.0653, 0.25, (0.0, 0.075)),    # torso
+             (0.065, 0.15, (0.0, -0.075)),    # pelvis
+             (0.04, 0.33, (0.0, -0.165)),     # thigh
+             (0.03, 0.32, (0.0, -0.16)),      # calf
+             (0.04, 0.25, (0.045, 0.0))]      # foot (forward)
     m = []
     inertia = []
-    for (r, l) in dims:
+    for (r, l, _) in geoms:
         mm = p2d.capsule_mass(r, l)
         m.append(mm)
         inertia.append(p2d.rod_inertia(mm, l, r))
     return _build_model(
         parent=[-1, 0, 1, 2, 3],
-        anchor=[(0, 0), (0.0, -dims[0][1] / 2), (0.0, -dims[1][1]),
-                (0.0, -dims[2][1]), (0.0, -dims[3][1])],
-        com=[(0, 0), (0, -dims[1][1] / 2), (0, -dims[2][1] / 2),
-             (0, -dims[3][1] / 2), (dims[4][1] / 2 - 0.05, 0)],
+        anchor=[(0, 0), (0.0, -0.05), (0.0, -0.2), (0.0, -0.33),
+                (0.0, -0.32)],
+        com=[g[2] for g in geoms],
         mass=m, inertia=inertia,
         # toe and heel contacts (touch sensors), plus torso top for falls
-        contacts=[(0, (0.0, dims[0][1] / 2), dims[0][0]),
-                  (4, (dims[4][1] - 0.05, 0.0), dims[4][0]),   # toe
-                  (4, (-0.05, 0.0), dims[4][0])],              # heel
+        contacts=[(0, (0.0, 0.2), geoms[0][0]),
+                  (4, (0.17, 0.0), 0.04),    # toe
+                  (4, (-0.08, 0.0), 0.04)],  # heel
         gear=[30, 40, 30, 10],
-        damping=[1.0] * 4,
+        damping=[0.05] * 4,
         limits=[_deg(-30, 30), _deg(-170, 10), _deg(5, 150), _deg(-45, 45)],
-        armature=[0.1] * 4,
+        armature=[0.2] * 4,
     )
 
 
-HOPPER_INIT_Z = 1.21  # torso-center height
+HOPPER_INIT_Z = 1.0  # root (torso-origin) height, hopper.xml:26
 HOPPER_STAND_HEIGHT = 0.6
 
 _MODELS: tp.Dict[str, tp.Callable[[], p2d.PlanarModel]] = {
@@ -303,9 +347,10 @@ class LocomotionEnv(Environment):
             return tolerance(forward * vx, (speed, float("inf")),
                              margin=speed, value_at_margin=0,
                              sigmoid="linear")
-        # hopper: height of torso over foot
-        origins, _ = p2d.fk(self.model, q)
-        height = q[1] - origins[-1, 1]
+        # hopper: height of torso COM over foot COM (reference
+        # physics.height(), dm_control hopper xipos difference)
+        coms, _ = p2d.com_world(self.model, q)
+        height = coms[0, 1] - coms[-1, 1]
         standing = tolerance(height, (HOPPER_STAND_HEIGHT, 2.0))
         if base == "stand":
             return standing
@@ -330,6 +375,18 @@ class LocomotionEnv(Environment):
         qj = self.model.limit_lo + u * (self.model.limit_hi - self.model.limit_lo)
         q = jnp.concatenate([jnp.asarray([0.0, self.init_z, 0.0]), qj])
         qd = jnp.zeros(self.model.ndof)
+        if self.domain == "cheetah":
+            # stabilize for 2 s of sim before the episode starts (reference
+            # Cheetah.initialize_episode steps physics 200×0.01 s,
+            # custom_dmc_tasks/cheetah.py:169-172)
+            def settle(carry: tp.Tuple[Array, Array], _: None):
+                qq, qqd = carry
+                qq, qqd, _t = p2d.step(self.model, qq, qqd,
+                                       jnp.zeros(nj), self.control_dt,
+                                       self.n_substeps)
+                return (qq, qqd), None
+            n_settle = int(round(2.0 / self.control_dt))
+            (q, qd), _ = jax.lax.scan(settle, (q, qd), None, length=n_settle)
         state = LocoState(q=q, qd=qd,
                           touch=jnp.zeros_like(self.model.contact_radius),
                           t=jnp.zeros((), jnp.int32))

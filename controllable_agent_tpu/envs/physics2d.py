@@ -62,6 +62,10 @@ class PlanarModel(struct.PyTreeNode):
     limit_lo: Array  # [nj] radians
     limit_hi: Array  # [nj]
     armature: Array  # [nj]
+    # per-joint spring toward the zero pose (MJCF joint stiffness; e.g. the
+    # cheetah's legs are spring-loaded toward their bent stance,
+    # reference custom_dmc_tasks/cheetah.xml:36-55)
+    stiffness: tp.Optional[Array] = None  # [nj]
     # contact material
     contact_stiffness: float = struct.field(pytree_node=False, default=3.0e4)
     contact_damping: float = struct.field(pytree_node=False, default=300.0)
@@ -173,6 +177,8 @@ def joint_forces(model: PlanarModel, q: Array, qd: Array,
     qj = q[3:]
     qdj = qd[3:]
     tau = model.gear * action - model.damping * qdj
+    if model.stiffness is not None:
+        tau = tau - model.stiffness * qj
     below = qj < model.limit_lo
     above = qj > model.limit_hi
     tau = tau + jnp.where(
