@@ -21,7 +21,6 @@ import json
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 BASELINE_UPDATES_PER_S = 60.0

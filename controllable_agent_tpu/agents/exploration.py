@@ -32,7 +32,6 @@ import typing as tp
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 from flax import linen as nn
 from flax import struct

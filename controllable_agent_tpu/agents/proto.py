@@ -20,11 +20,9 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import linen as nn
-from flax import struct
 
 from ..data.episode_batch import EpisodeBatch
 from ..models.networks import l2_normalize, mlp
-from ..ops.pbe import RMSState
 from .exploration import IntrinsicConfig, IntrinsicDDPGAgent
 
 Array = jnp.ndarray

@@ -8,7 +8,6 @@ build time (reference make_agent, url_benchmark/pretrain.py:112-120).
 
 from __future__ import annotations
 
-import dataclasses
 import typing as tp
 
 from ..envs.base import EnvSpec

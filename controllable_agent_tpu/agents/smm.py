@@ -20,9 +20,7 @@ import jax.numpy as jnp
 import optax
 from flax import linen as nn
 
-from ..data.episode_batch import EpisodeBatch
 from ..models.networks import mlp
-from ..ops.pbe import RMSState
 from .base import MetaDict
 from .exploration import IntrinsicConfig, IntrinsicDDPGAgent
 

@@ -13,7 +13,6 @@ stdlib-only (http.server) so it runs on a bare TPU host:
 from __future__ import annotations
 
 import html
-import json
 import sys
 import typing as tp
 import urllib.parse

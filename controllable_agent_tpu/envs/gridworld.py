@@ -143,6 +143,27 @@ class GridWorld(Environment):
     def _physics(self, state: GridState) -> Array:
         return jnp.concatenate([state.pos, state.goal]).astype(jnp.float32)
 
+    def render(self, state: GridState, cell_px: int = 24) -> np.ndarray:
+        """RGB frame of the grid: walls dark, start outlined, goal green,
+        agent orange (reference env.py:321-381 renders via matplotlib; this
+        is a GL/matplotlib-free rasterizer consistent with train/video.py).
+        Host-side (numpy), for visualization only."""
+        h, w = self.shape
+        layout = np.asarray(self.layout)
+        img = np.full((h, w, 3), 255, np.uint8)
+        img[layout < 0] = (40, 40, 40)          # walls
+        sy, sx = (int(v) for v in np.asarray(self.start))
+        img[sy, sx] = (180, 200, 255)           # start cell
+        gy, gx = (int(v) for v in np.asarray(state.goal))
+        img[gy, gx] = (60, 180, 75)             # goal
+        ay, ax = (int(v) for v in np.asarray(state.pos))
+        img[ay, ax] = (235, 137, 33)            # agent
+        img = np.repeat(np.repeat(img, cell_px, axis=0), cell_px, axis=1)
+        # thin grid lines
+        img[::cell_px, :] = 200
+        img[:, ::cell_px] = 200
+        return img
+
     # -- dynamics --------------------------------------------------------
     def _sample_goal(self, key: jax.Array) -> Array:
         i = jax.random.randint(key, (), 0, self._free_cells.shape[0])

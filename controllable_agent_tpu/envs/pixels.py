@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from .base import Environment, EnvSpec, TimeStep
+from .base import Environment, TimeStep
 
 Array = jnp.ndarray
 

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from .base import Environment, EnvSpec, StepType, TimeStep
+from .base import Environment, TimeStep
 
 Array = jnp.ndarray
 

@@ -22,7 +22,6 @@ from __future__ import annotations
 import math
 import typing as tp
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

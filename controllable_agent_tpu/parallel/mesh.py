@@ -15,7 +15,6 @@ from __future__ import annotations
 import typing as tp
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -14,7 +14,6 @@ from __future__ import annotations
 import json
 import sys
 import typing as tp
-from pathlib import Path
 
 import jax.numpy as jnp
 import numpy as np

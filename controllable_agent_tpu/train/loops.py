@@ -30,7 +30,7 @@ import numpy as np
 
 from ..data import replay as replay_lib
 from ..data.replay import ReplayState, SampleConfig
-from ..envs.base import Environment, TimeStep
+from ..envs.base import Environment
 
 Array = jnp.ndarray
 

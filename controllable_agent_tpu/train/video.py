@@ -23,18 +23,85 @@ def _blank(h: int = 256, w: int = 256) -> np.ndarray:
 def _draw_disk(img: np.ndarray, cy: float, cx: float, r: float,
                color: tp.Tuple[int, int, int]) -> None:
     h, w, _ = img.shape
-    y, x = np.ogrid[:h, :w]
+    ylo, yhi = max(0, int(cy - r) - 1), min(h, int(cy + r) + 2)
+    xlo, xhi = max(0, int(cx - r) - 1), min(w, int(cx + r) + 2)
+    if ylo >= yhi or xlo >= xhi:
+        return
+    y, x = np.ogrid[ylo:yhi, xlo:xhi]
     mask = (y - cy) ** 2 + (x - cx) ** 2 <= r ** 2
-    img[mask] = color
+    img[ylo:yhi, xlo:xhi][mask] = color
 
 
 def _draw_line(img: np.ndarray, y0: float, x0: float, y1: float, x1: float,
                color: tp.Tuple[int, int, int], width: int = 3) -> None:
-    n = int(max(abs(y1 - y0), abs(x1 - x0)) * 2 + 1)
-    ys = np.linspace(y0, y1, n)
-    xs = np.linspace(x0, x1, n)
-    for y, x in zip(ys, xs):
-        _draw_disk(img, y, x, width, color)
+    """Capsule (thick segment) via one vectorized point-to-segment
+    distance over the segment's bounding box."""
+    h, w, _ = img.shape
+    ylo = max(0, int(min(y0, y1) - width) - 1)
+    yhi = min(h, int(max(y0, y1) + width) + 2)
+    xlo = max(0, int(min(x0, x1) - width) - 1)
+    xhi = min(w, int(max(x0, x1) + width) + 2)
+    if ylo >= yhi or xlo >= xhi:
+        return
+    y, x = np.ogrid[ylo:yhi, xlo:xhi]
+    dy, dx = y1 - y0, x1 - x0
+    denom = dy * dy + dx * dx
+    t = 0.0 if denom == 0 else np.clip(
+        ((y - y0) * dy + (x - x0) * dx) / denom, 0.0, 1.0)
+    dist2 = (y - (y0 + t * dy)) ** 2 + (x - (x0 + t * dx)) ** 2
+    img[ylo:yhi, xlo:xhi][dist2 <= width ** 2] = color
+
+
+def _np_fk2d(model: tp.Any, q: np.ndarray
+             ) -> tp.Tuple[np.ndarray, np.ndarray]:
+    """Planar fk in numpy — the render path must never dispatch device ops
+    (each eager jax call goes through the TPU relay on a tunneled chip)."""
+    q = np.asarray(q, np.float64)
+    anchor = np.asarray(model.anchor)
+    nb = len(model.parent)
+    origins = np.zeros((nb, 2))
+    angles = np.zeros(nb)
+    origins[0] = q[0:2]
+    angles[0] = q[2]
+    for b in range(1, nb):
+        p = model.parent[b]
+        c, s = np.cos(angles[p]), np.sin(angles[p])
+        ax, az = anchor[b]
+        origins[b] = origins[p] + (c * ax - s * az, s * ax + c * az)
+        angles[b] = angles[p] + q[3 + b - 1]
+    return origins, angles
+
+
+def _np_fk3d(model: tp.Any, q: np.ndarray) -> np.ndarray:
+    """3-D fk origins in numpy (see _np_fk2d for why not jax)."""
+    q = np.asarray(q, np.float64)
+    anchor = np.asarray(model.anchor)
+    axis = np.asarray(model.axis)
+    nb = len(model.parent)
+
+    def euler_rot(e: np.ndarray) -> np.ndarray:
+        cx, sx = np.cos(e[0]), np.sin(e[0])
+        cy, sy = np.cos(e[1]), np.sin(e[1])
+        cz, sz = np.cos(e[2]), np.sin(e[2])
+        rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+        ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+        return rz @ ry @ rx
+
+    def axis_rot(k: np.ndarray, a: float) -> np.ndarray:
+        c, s = np.cos(a), np.sin(a)
+        kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+        return np.eye(3) * c + s * kx + (1 - c) * np.outer(k, k)
+
+    origins = np.zeros((nb, 3))
+    rots = np.zeros((nb, 3, 3))
+    origins[0] = q[0:3]
+    rots[0] = euler_rot(q[3:6])
+    for b in range(1, nb):
+        p = model.parent[b]
+        origins[b] = origins[p] + rots[p] @ anchor[b]
+        rots[b] = rots[p] @ axis_rot(axis[b], q[6 + b - 1])
+    return origins
 
 
 class Renderer:
@@ -86,14 +153,11 @@ class Renderer:
         return img
 
     def _locomotion(self, physics: np.ndarray) -> np.ndarray:
-        from ..envs import physics2d as p2d
         img = _blank()
         model = self.env.model
         ndof = model.ndof
         q = physics[:ndof]
-        origins, angles = p2d.fk(model, q)
-        origins = np.asarray(origins)
-        angles = np.asarray(angles)
+        origins, angles = _np_fk2d(model, q)
         scale = 80.0
         cx = 128 - origins[0, 0] * scale  # camera follows the root
         ground_y = 220.0
@@ -120,11 +184,10 @@ class Renderer:
     def _body3d(self, physics: np.ndarray) -> np.ndarray:
         """Quadruped / jaco: oblique projection of the 3-D kinematic tree
         (x right, y into the screen with a 0.4 shear, z up)."""
-        from ..envs import physics3d as p3d
         img = _blank()
         model = self.env.model
         q = physics[: model.ndof]
-        origins, _ = (np.asarray(a) for a in p3d.fk(model, q))
+        origins = _np_fk3d(model, q)
         scale = 120.0 if self.domain == "quadruped" else 220.0
         shear = 0.4
         root = origins[0]

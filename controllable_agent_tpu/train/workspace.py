@@ -147,7 +147,10 @@ class Workspace:
                     f"Unknown goal space {cfg.goal_space} for {self.domain}")
             space_fn = space_fns[cfg.goal_space]
             feats_fn = getattr(self.env, "goal_features", lambda p: p)
-            self.goal_fn = lambda phys: space_fn(feats_fn(phys))
+            # jitted: host callers (eval diagnostics, relabeling) hand it
+            # 10k-row batches — eager dispatch through a tunneled TPU would
+            # pay one relay round trip per op
+            self.goal_fn = jax.jit(lambda phys: space_fn(feats_fn(phys)))
             goal_dim = get_goal_space_dim(cfg.goal_space)
             if cfg.append_goal_to_observation:
                 from ..envs.wrappers import GoalAppendWrapper
@@ -182,6 +185,7 @@ class Workspace:
         self.global_step = 0
         self.global_episode = 0
         self._eval_fn: tp.Optional[tp.Callable] = None
+        self._phys_feats_fn: tp.Optional[tp.Callable] = None
         self.eval_rewards_history: tp.List[float] = []
 
         save_config(cfg, str(self.work_dir / "config.json"))
@@ -332,9 +336,10 @@ class Workspace:
         # physics stats in every eval dump (reference PhysicsAggregator,
         # dmc.py:460-477, logged pretrain.py:404-417)
         from .physics_stats import PhysicsAggregator
-        agg = PhysicsAggregator(
-            self.domain, features_fn=getattr(self._base_env(),
-                                             "goal_features", None))
+        if self._phys_feats_fn is None:
+            raw = getattr(self._base_env(), "goal_features", None)
+            self._phys_feats_fn = None if raw is None else jax.jit(raw)
+        agg = PhysicsAggregator(self.domain, features_fn=self._phys_feats_fn)
         agg.add_batch(phys.reshape(-1, phys.shape[-1]))
         metrics.update({k: v for k, v in agg.dump()})
         if self.cfg.save_eval_video:

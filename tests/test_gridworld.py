@@ -124,3 +124,19 @@ def test_grid_and_agent_goal_pos_observation_types() -> None:
     np.testing.assert_array_equal(
         np.asarray(ts2.observation),
         np.concatenate([np.asarray(state2.pos), np.asarray(state2.goal)]))
+
+
+def test_render_rgb() -> None:
+    """GL-free render path (reference env.py:359-381 matplotlib render)."""
+    import numpy as np
+    from controllable_agent_tpu.envs.gridworld import build_gridworld_task
+    import jax
+    env = build_gridworld_task("obstacle")
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    img = env.render(state, cell_px=8)
+    h, w = env.shape
+    assert img.shape == (h * 8, w * 8, 3) and img.dtype == np.uint8
+    # agent / goal / wall colors all present
+    flat = img.reshape(-1, 3)
+    for color in ((235, 137, 33), (60, 180, 75), (40, 40, 40)):
+        assert (flat == np.asarray(color, np.uint8)).all(1).any(), color
