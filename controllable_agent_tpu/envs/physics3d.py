@@ -104,6 +104,14 @@ class Model3D(struct.PyTreeNode):
     limit_stiffness: float = struct.field(pytree_node=False, default=300.0)
     limit_damping: float = struct.field(pytree_node=False, default=10.0)
     fixed_base: bool = struct.field(pytree_node=False, default=False)
+    # position-servo actuation (the reference quadruped's MJCF actuators:
+    # gainprm=1000 biasprm="0 -1000" biastype=affine — torque =
+    # gain*(target − q), custom_dmc_tasks/quadruped.xml:57-66). When
+    # servo_gain is set, action in [-1,1] maps to the target angle
+    # servo_center + action*servo_half and `gear` is unused.
+    servo_gain: tp.Optional[Array] = None  # [nj]
+    servo_center: tp.Optional[Array] = None  # [nj]
+    servo_half: tp.Optional[Array] = None  # [nj]
 
     @property
     def nb(self) -> int:
@@ -240,7 +248,11 @@ def contact_forces(model: Model3D, q: Array, qd: Array,
 def joint_forces(model: Model3D, q: Array, qd: Array, action: Array) -> Array:
     qj = q[6:]
     qdj = qd[6:]
-    tau = model.gear * action - model.damping * qdj
+    if model.servo_gain is not None:
+        target = model.servo_center + action * model.servo_half
+        tau = model.servo_gain * (target - qj) - model.damping * qdj
+    else:
+        tau = model.gear * action - model.damping * qdj
     below = qj < model.limit_lo
     above = qj > model.limit_hi
     tau = tau + jnp.where(

@@ -115,12 +115,23 @@ def quadruped_model() -> p3d.Model3D:
         contact_point=jnp.asarray([c[1] for c in contacts], jnp.float32),
         contact_radius=jnp.asarray([c[2] for c in contacts], jnp.float32),
         gear=jnp.asarray([60.0, 40.0] * 4, jnp.float32),
-        damping=jnp.asarray([2.0] * 8, jnp.float32),
+        damping=jnp.asarray([30.0] * 8, jnp.float32),
         limit_lo=jnp.asarray([float(deg(-60)), float(deg(-120))] * 4,
                              jnp.float32),
         limit_hi=jnp.asarray([float(deg(60)), float(deg(10))] * 4,
                              jnp.float32),
         armature=jnp.asarray([0.05] * 8, jnp.float32),
+        # position servos like the reference's MJCF actuators (gain 1000,
+        # damping 30, quadruped.xml:22,57-66): the action commands a target
+        # angle across the joint range — a far more learnable actuation
+        # than raw torque for a 14-dof walker
+        servo_gain=jnp.asarray([1000.0] * 8, jnp.float32),
+        # action=0 commands a statically stable stance (slight bend with
+        # the foot under the hip); ranges stay inside the joint limits
+        servo_center=jnp.asarray(
+            [float(deg(15)), float(deg(-30))] * 4, jnp.float32),
+        servo_half=jnp.asarray(
+            [float(deg(45)), float(deg(40))] * 4, jnp.float32),
     )
 
 

@@ -24,7 +24,10 @@ def test_axis_rot() -> None:
 
 
 def test_3d_free_fall() -> None:
-    model = quadruped.quadruped_model()
+    # strip the position servos: zero action means "servo to stance", which
+    # exerts internal torques that accelerate the root dof
+    model = quadruped.quadruped_model().replace(
+        servo_gain=None, servo_center=None, servo_half=None)
     q = jnp.zeros(model.ndof).at[2].set(5.0)  # high above ground
     qd = jnp.zeros(model.ndof)
     qdd, _ = p3d.forward_dynamics(model, q, qd, jnp.zeros(8))
