@@ -254,5 +254,6 @@ class VideoRecorder:
         except (ValueError, ImportError):
             # no mp4/ffmpeg backend in this environment -> gif fallback
             path = path.with_suffix(".gif")
-            imageio.mimsave(str(path), self.frames, fps=self.fps)
+            imageio.mimsave(str(path), self.frames,
+                            duration=1000.0 / self.fps)
         return path
