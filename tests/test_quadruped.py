@@ -236,3 +236,20 @@ def test_quadruped_positions_goal_space() -> None:
     # the registered goal: everything at the origin target
     _, goal_fn = gs.goals.lookup("quadruped_fetch")
     np.testing.assert_allclose(goal_fn(), np.zeros(6))
+
+
+def test_servo_stance_is_statically_stable() -> None:
+    """action=0 commands a stance the robot can hold indefinitely (the
+    reference's position-servo actuators make zero-control a stable pose;
+    this is what makes the 14-dof walker explorable)."""
+    env = quadruped.make("quadruped_stand")
+    step = jax.jit(env.step)
+    s, _ = env.reset(jax.random.PRNGKey(3))
+    ts = None
+    for _ in range(120):
+        s, ts = step(s, jnp.zeros(8))
+    up = float(env.goal_features(ts.physics)[0])
+    z = float(s.q[2])
+    assert up > 0.95, f"torso not level after zero-action hold: up={up}"
+    assert z > 0.4, f"torso sank: z={z}"
+    assert float(ts.reward) > 0.5
