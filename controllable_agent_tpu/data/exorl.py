@@ -22,6 +22,8 @@ def load_episode(fn: Path) -> tp.Dict[str, np.ndarray]:
 
 
 _MJ_WALKER_TORSO_Z = 1.3  # torso body offset, custom_dmc_tasks/walker.xml:24
+_MJ_CHEETAH_TORSO_Z = 0.7  # custom_dmc_tasks/cheetah.xml torso pos
+_MJ_HOPPER_TORSO_Z = 1.0  # custom_dmc_tasks/hopper.xml torso pos
 
 
 def mujoco_walker_physics_to_native(physics: np.ndarray) -> np.ndarray:
@@ -31,29 +33,57 @@ def mujoco_walker_physics_to_native(physics: np.ndarray) -> np.ndarray:
     qpos = [rootz, rootx, rooty, r_hip, r_knee, r_ankle, l_hip, l_knee,
     l_ankle] and the torso's 1.3 m body offset baked into the model
     (reference custom_dmc_tasks/walker.xml:24-30). The native engine stores
-    q = [x, z, theta, same 6 joints] with absolute torso height, so reward
-    relabeling / goal-feature extraction (envs/locomotion.py
-    walker_features_single) read the right columns:
+    q = [x, z, theta, same 6 joints] with absolute torso height:
 
-      x = qpos[rootx]   z = qpos[rootz] + 1.3   theta = qpos[rooty]
+      x = qpos[rootx]   z = qpos[rootz] + 1.3   theta = -qpos[rooty]
 
-    Root quantities (height, uprightness, velocities) — everything the
-    walker reward zoo and goal spaces consume — map exactly. Joint columns
-    pass through (same ordering). The angular-momentum goal feature is
-    recomputed with the NATIVE model's link inertias, an approximation for
-    foreign trajectories (documented cross-engine caveat).
+    The root angle is NEGATED: rooty rotates about the +y axis (x tips
+    toward -z for positive angle) while the native hinge convention is CCW
+    in the x-z plane. The walker's six LEG joints rotate about the -y axis
+    (walker.xml jnt_axis "0 -1 0"), which IS the native convention, so
+    they pass through unchanged. Verified against dm_control: per-body
+    COM positions match xipos to <1e-5 and the COM-velocity/angular-
+    momentum goal features correlate >0.998/0.994 with the model's
+    subtree_linvel/subtree_angmom on shared rollouts
+    (tests/test_mujoco_parity.py).
     """
     q_mj, qd_mj = physics[..., :9], physics[..., 9:18]
     perm = [1, 0] + list(range(2, 9))
     q = q_mj[..., perm].copy()
     q[..., 1] += _MJ_WALKER_TORSO_Z
-    qd = qd_mj[..., perm]
+    q[..., 2] = -q[..., 2]
+    qd = qd_mj[..., perm].copy()
+    qd[..., 2] = -qd[..., 2]
     return np.concatenate([q, qd], axis=-1).astype(np.float32)
+
+
+def _planar_all_y_adapter(torso_z: float, ndof: int
+                          ) -> tp.Callable[[np.ndarray], np.ndarray]:
+    """Adapter for planar MuJoCo models whose hinges are ALL on the +y
+    axis (cheetah, hopper): qpos = [rootx, rootz, rooty, joints...] maps
+    to native [x, z + torso_z, -rooty, -joints...] — every angular dof is
+    negated because native positive rotation (CCW x→z) is the opposite
+    physical direction of a +y MuJoCo hinge."""
+    def adapt(physics: np.ndarray) -> np.ndarray:
+        q_mj, qd_mj = physics[..., :ndof], physics[..., ndof:2 * ndof]
+        q = q_mj.copy()
+        q[..., 1] += torso_z
+        q[..., 2:] = -q[..., 2:]
+        qd = qd_mj.copy()
+        qd[..., 2:] = -qd[..., 2:]
+        return np.concatenate([q, qd], axis=-1).astype(np.float32)
+    return adapt
+
+
+mujoco_cheetah_physics_to_native = _planar_all_y_adapter(_MJ_CHEETAH_TORSO_Z, 9)
+mujoco_hopper_physics_to_native = _planar_all_y_adapter(_MJ_HOPPER_TORSO_Z, 7)
 
 
 PHYSICS_ADAPTERS: tp.Dict[str, tp.Optional[tp.Callable[[np.ndarray], np.ndarray]]] = {
     "native": None,
     "mujoco_walker": mujoco_walker_physics_to_native,
+    "mujoco_cheetah": mujoco_cheetah_physics_to_native,
+    "mujoco_hopper": mujoco_hopper_physics_to_native,
 }
 
 

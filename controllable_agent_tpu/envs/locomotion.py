@@ -79,22 +79,28 @@ def walker_model() -> p2d.PlanarModel:
     r_lg, l_lg = 0.04, 0.5
     r_ft, l_ft = 0.05, 0.2  # foot points forward
     m = [p2d.capsule_mass(r_t, l_t), ]
-    inertia = [p2d.rod_inertia(m[0], l_t, r_t)]
+    inertia = [p2d.capsule_inertia(r_t, l_t)]
     for (r, l) in [(r_th, l_th), (r_lg, l_lg), (r_ft, l_ft)] * 2:
-        mm = p2d.capsule_mass(r, l)
-        m.append(mm)
-        inertia.append(p2d.rod_inertia(mm, l, r))
+        m.append(p2d.capsule_mass(r, l))
+        inertia.append(p2d.capsule_inertia(r, l))
     hip = (0.0, -l_t / 2)
+    # foot COM sits 0.06 ahead of the ankle (dm_control walker.xml: foot
+    # body pos x=.06 with the ankle at x=-.06 in the foot frame), so the
+    # capsule spans x ∈ [-0.04, 0.16] relative to the ankle — verified
+    # against the model's body_ipos/xipos
+    ft_com = 0.06
     return _build_model(
         parent=[-1, 0, 1, 2, 0, 4, 5],
         anchor=[(0, 0), hip, (0.0, -l_th), (0.0, -l_lg),
                 hip, (0.0, -l_th), (0.0, -l_lg)],
-        com=[(0, 0), (0, -l_th / 2), (0, -l_lg / 2), (l_ft / 2, 0)] +
-            [(0, -l_th / 2), (0, -l_lg / 2), (l_ft / 2, 0)],
+        com=[(0, 0), (0, -l_th / 2), (0, -l_lg / 2), (ft_com, 0)] +
+            [(0, -l_th / 2), (0, -l_lg / 2), (ft_com, 0)],
         mass=m, inertia=inertia,
         contacts=[(0, (0.0, l_t / 2), r_t), (0, (0.0, -l_t / 2), r_t),
-                  (3, (0.0, 0.0), r_ft), (3, (l_ft, 0.0), r_ft),
-                  (6, (0.0, 0.0), r_ft), (6, (l_ft, 0.0), r_ft)],
+                  (3, (ft_com - l_ft / 2, 0.0), r_ft),
+                  (3, (ft_com + l_ft / 2, 0.0), r_ft),
+                  (6, (ft_com - l_ft / 2, 0.0), r_ft),
+                  (6, (ft_com + l_ft / 2, 0.0), r_ft)],
         gear=[100, 50, 20, 100, 50, 20],
         damping=[0.1] * 6,
         limits=[_deg(-20, 100), _deg(-150, 0), _deg(-45, 45)] * 2,
@@ -129,16 +135,15 @@ def cheetah_model() -> p2d.PlanarModel:
     m_h = p2d.capsule_mass(r, 0.3)
     head_com = np.asarray([0.6, 0.1])
     com0 = (m_h * head_com) / (m_t + m_h)
-    i0 = (p2d.rod_inertia(m_t, 1.0, r) + m_t * float((com0 ** 2).sum())
-          + p2d.rod_inertia(m_h, 0.3, r)
+    i0 = (p2d.capsule_inertia(r, 1.0) + m_t * float((com0 ** 2).sum())
+          + p2d.capsule_inertia(r, 0.3)
           + m_h * float(((head_com - com0) ** 2).sum()))
     mass = [m_t + m_h]
     inertia = [i0]
     com = [tuple(com0)]
     for (c, _, hl) in leg_geoms:
-        mm = p2d.capsule_mass(r, 2 * hl)
-        mass.append(mm)
-        inertia.append(p2d.rod_inertia(mm, 2 * hl, r))
+        mass.append(p2d.capsule_mass(r, 2 * hl))
+        inertia.append(p2d.capsule_inertia(r, 2 * hl))
         com.append(c)
     scale = 14.0 / sum(mass)  # MJCF compiler settotalmass="14"
     mass = [m * scale for m in mass]
@@ -166,8 +171,11 @@ def cheetah_model() -> p2d.PlanarModel:
         contacts=contacts,
         gear=[120, 90, 60, 90, 60, 30],
         damping=[6.0, 4.5, 3.0, 4.5, 3.0, 1.5],
-        limits=[_deg(-30, 60), _deg(-50, 50), _deg(-230, 50),
-                _deg(-57, 0.4), _deg(-70, 50), _deg(-28, 28)],
+        # MJCF ranges are about the +y hinge axis (cheetah.xml joints);
+        # this engine's positive hinge rotation is the OPPOSITE physical
+        # direction (CCW x→z), so each range maps to (-hi, -lo)
+        limits=[_deg(-60, 30), _deg(-50, 50), _deg(-50, 230),
+                _deg(-0.4, 57), _deg(-50, 70), _deg(-28, 28)],
         armature=[0.1] * 6,
         stiffness=jnp.asarray([240.0, 180.0, 120.0, 180.0, 120.0, 60.0]),
         friction=0.4,
@@ -193,14 +201,19 @@ def hopper_model() -> p2d.PlanarModel:
     m = []
     inertia = []
     for (r, l, _) in geoms:
-        mm = p2d.capsule_mass(r, l)
-        m.append(mm)
-        inertia.append(p2d.rod_inertia(mm, l, r))
+        m.append(p2d.capsule_mass(r, l))
+        inertia.append(p2d.capsule_inertia(r, l))
+    # torso also carries the nose geom: use the real model's torso mass /
+    # COM / inertia (dm_control hopper body_mass[torso]=4.828,
+    # body_ipos=(0.0075, 0.0789), body_inertia_y=0.0497)
+    m[0], inertia[0] = 4.828, 0.0497
+    com = [g[2] for g in geoms]
+    com[0] = (0.0075, 0.0789)
     return _build_model(
         parent=[-1, 0, 1, 2, 3],
         anchor=[(0, 0), (0.0, -0.05), (0.0, -0.2), (0.0, -0.33),
                 (0.0, -0.32)],
-        com=[g[2] for g in geoms],
+        com=com,
         mass=m, inertia=inertia,
         # toe and heel contacts (touch sensors), plus torso top for falls
         contacts=[(0, (0.0, 0.2), geoms[0][0]),
@@ -208,7 +221,10 @@ def hopper_model() -> p2d.PlanarModel:
                   (4, (-0.08, 0.0), 0.04)],  # heel
         gear=[30, 40, 30, 10],
         damping=[0.05] * 4,
-        limits=[_deg(-30, 30), _deg(-170, 10), _deg(5, 150), _deg(-45, 45)],
+        # MJCF ranges are about the +y hinge axis (hopper.xml joints);
+        # native positive rotation is the opposite physical direction, so
+        # each range maps to (-hi, -lo)
+        limits=[_deg(-30, 30), _deg(-10, 170), _deg(-150, -5), _deg(-45, 45)],
         armature=[0.2] * 4,
     )
 

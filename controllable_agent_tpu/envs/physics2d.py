@@ -240,6 +240,23 @@ def rod_inertia(mass: float, length: float, radius: float) -> float:
     return float(mass * (length ** 2 / 12.0 + radius ** 2 / 4.0))
 
 
+def capsule_inertia(radius: float, length: float, density: float = 1000.0
+                    ) -> float:
+    """Exact capsule inertia about its COM, perpendicular axis: cylinder
+    + two hemispherical caps with parallel-axis terms. Matches MuJoCo's
+    capsule inertia (e.g. the dm_control walker torso: r=.07, L=.6 →
+    0.443, equal to the model's body_inertia)."""
+    r, L = radius, length
+    m_cyl = density * np.pi * r ** 2 * L
+    m_hemi = density * (2.0 / 3.0) * np.pi * r ** 3  # each cap
+    i_cyl = m_cyl * (L ** 2 / 12.0 + r ** 2 / 4.0)
+    # hemisphere about its own COM (83/320 m r²), COM at 3r/8 above the
+    # flat face which sits at ±L/2
+    i_hemi_com = (83.0 / 320.0) * m_hemi * r ** 2
+    d = L / 2.0 + 3.0 * r / 8.0
+    return float(i_cyl + 2.0 * (i_hemi_com + m_hemi * d ** 2))
+
+
 def subtree_momentum(model: PlanarModel, q: Array, qd: Array
                      ) -> tp.Tuple[Array, Array, Array]:
     """(linear COM velocity [2], angular momentum about the total COM,
