@@ -105,7 +105,6 @@ class APSAgent(ZMetaMixin):
 
     def rollout_update_meta(self, state, meta, t, key):
         task = meta["task"]
-        n = task.shape[0]
         new = jax.random.normal(key, task.shape)
         new = new / jnp.maximum(jnp.linalg.norm(new, axis=-1, keepdims=True),
                                 1e-12)

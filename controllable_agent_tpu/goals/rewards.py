@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.tolerance import tolerance
-from .registry import goal_spaces, goals
+from .registry import goal_spaces
 from . import spaces as _spaces  # noqa: F401  (populates the registries)
 
 Array = jnp.ndarray

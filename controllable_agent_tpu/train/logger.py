@@ -121,7 +121,6 @@ class MetersGroup:
         return f"{key}: {self._FORMATS[ty].format(value)}"
 
     def _dump_to_console(self, data: tp.Dict[str, float], prefix: str) -> None:
-        prefix_col = "green" if prefix == "train" else "yellow"
         pieces = [f"| {prefix: <14}"]
         for key, disp_key, ty in self._formating:
             value = data.get(key, 0)

@@ -57,7 +57,7 @@ def _np_fk2d(model: tp.Any, q: np.ndarray
     """Planar fk in numpy — the render path must never dispatch device ops
     (each eager jax call goes through the TPU relay on a tunneled chip)."""
     q = np.asarray(q, np.float64)
-    anchor = np.asarray(model.anchor)
+    anchor = model.anchor
     nb = len(model.parent)
     origins = np.zeros((nb, 2))
     angles = np.zeros(nb)
@@ -75,8 +75,8 @@ def _np_fk2d(model: tp.Any, q: np.ndarray
 def _np_fk3d(model: tp.Any, q: np.ndarray) -> np.ndarray:
     """3-D fk origins in numpy (see _np_fk2d for why not jax)."""
     q = np.asarray(q, np.float64)
-    anchor = np.asarray(model.anchor)
-    axis = np.asarray(model.axis)
+    anchor = model.anchor
+    axis = model.axis
     nb = len(model.parent)
 
     def euler_rot(e: np.ndarray) -> np.ndarray:
@@ -104,12 +104,28 @@ def _np_fk3d(model: tp.Any, q: np.ndarray) -> np.ndarray:
     return origins
 
 
+class _NpModel:
+    """Host-side copy of an env model's kinematic constants. Built once —
+    the fk helpers run per FRAME, and reading device arrays there would
+    pay a device-to-host transfer (through the TPU relay) per frame."""
+
+    def __init__(self, model: tp.Any) -> None:
+        self.parent = tuple(model.parent)
+        self.ndof = model.ndof
+        self.anchor = np.asarray(model.anchor)
+        self.com = np.asarray(model.com) if hasattr(model, "com") else None
+        self.axis = np.asarray(model.axis) if hasattr(model, "axis") else None
+
+
 class Renderer:
     """physics vector -> RGB frame, per domain."""
 
     def __init__(self, domain: str, env: tp.Any = None) -> None:
         self.domain = domain
         self.env = env
+        self.model: tp.Optional[_NpModel] = None
+        if env is not None and hasattr(env, "model"):
+            self.model = _NpModel(env.model)
 
     def __call__(self, physics: np.ndarray) -> np.ndarray:
         physics = np.asarray(physics)
@@ -154,7 +170,8 @@ class Renderer:
 
     def _locomotion(self, physics: np.ndarray) -> np.ndarray:
         img = _blank()
-        model = self.env.model
+        model = self.model
+        assert model is not None
         ndof = model.ndof
         q = physics[:ndof]
         origins, angles = _np_fk2d(model, q)
@@ -169,10 +186,10 @@ class Renderer:
         # draw each body as a segment from its origin toward its child or
         # along its own capsule direction (COM doubled)
         coms = np.asarray(origins) + np.stack(
-            [np.cos(angles) * np.asarray(model.com)[:, 0]
-             - np.sin(angles) * np.asarray(model.com)[:, 1],
-             np.sin(angles) * np.asarray(model.com)[:, 0]
-             + np.cos(angles) * np.asarray(model.com)[:, 1]], axis=1)
+            [np.cos(angles) * model.com[:, 0]
+             - np.sin(angles) * model.com[:, 1],
+             np.sin(angles) * model.com[:, 0]
+             + np.cos(angles) * model.com[:, 1]], axis=1)
         for b in range(len(origins)):
             end = origins[b] + 2 * (coms[b] - origins[b])
             y0, x0 = to_px(*origins[b])
@@ -185,7 +202,8 @@ class Renderer:
         """Quadruped / jaco: oblique projection of the 3-D kinematic tree
         (x right, y into the screen with a 0.4 shear, z up)."""
         img = _blank()
-        model = self.env.model
+        model = self.model
+        assert model is not None
         q = physics[: model.ndof]
         origins = _np_fk3d(model, q)
         scale = 120.0 if self.domain == "quadruped" else 220.0

@@ -255,7 +255,6 @@ class Workspace:
     def _make_eval_fn(self) -> tp.Callable:
         env, agent = self.env, self.agent
         T = env.spec.episode_length
-        discrete = env.spec.discrete_actions
         # pixel obs trajectories would be ~100s of MB per eval; diagnostics
         # that need per-step observations are states-only
         keep_obs = not env.spec.obs_shape

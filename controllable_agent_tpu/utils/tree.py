@@ -22,10 +22,10 @@ def hard_update(params: tp.Any) -> tp.Any:
     return jax.tree.map(lambda p: p, params)
 
 
-def param_norm(params: tp.Any, ord: float = 2.0) -> jnp.ndarray:
+def param_norm(params: tp.Any, order: float = 2.0) -> jnp.ndarray:
     leaves = jax.tree.leaves(params)
-    norms = jnp.stack([jnp.linalg.norm(x.ravel(), ord=ord) for x in leaves])
-    return jnp.linalg.norm(norms, ord=ord)
+    norms = jnp.stack([jnp.linalg.norm(x.ravel(), ord=order) for x in leaves])
+    return jnp.linalg.norm(norms, ord=order)
 
 
 def tree_size(params: tp.Any) -> int:

@@ -1,0 +1,143 @@
+"""Collect a REAL dm_control exploration buffer in ExORL episode format.
+
+Reproduces the data half of the reference's canonical offline recipe
+(reference README.md:63-78: ExORL RND walker buffer -> offline FB) with
+locally generated data: an exploration agent (RND by default) is trained
+online while stepping the real dm_control environment on the host, and
+every episode is saved as an ExORL-format .npz (observation / action /
+reward / discount / physics, arrays [T+1, ...]) — the exact format
+`data/exorl.py` ingests with `physics_format=mujoco_<domain>`.
+
+TPU/host split: MuJoCo steps on the host; per-step `act` runs as a
+CPU-jitted program on a host-resident copy of the params (a per-step TPU
+call would pay a relay round trip each step); gradient updates run in
+bursts on the accelerator between episodes via the fused offline trainer
+(matching the reference's 1-update-per-2-frames ratio by default).
+
+Usage:
+  python -m tools.collect_mujoco_buffer --task walker_stand \
+      --episodes 300 --out exorl_data/walker_rnd
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+from pathlib import Path
+
+import numpy as np
+
+from tools import mujoco_bridge as bridge
+
+
+def flat_obs(ts) -> np.ndarray:
+    return np.concatenate(
+        [np.asarray(v, np.float32).ravel() for v in ts.observation.values()])
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--task", default="walker_stand")
+    p.add_argument("--episodes", type=int, default=300)
+    p.add_argument("--out", default="exorl_data/walker_rnd")
+    p.add_argument("--agent", default="rnd")
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--random-episodes", type=int, default=10,
+                   help="initial uniform-random episodes (seed frames)")
+    p.add_argument("--updates-per-episode", type=int, default=500)
+    p.add_argument("--batch-size", type=int, default=1024)
+    p.add_argument("--episode-length", type=int, default=1000)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from controllable_agent_tpu.agents.registry import default_config, make_agent
+    from controllable_agent_tpu.data.replay import ReplayBuffer
+    from controllable_agent_tpu.envs.base import EnvSpec
+    from controllable_agent_tpu.train.loops import make_offline_trainer
+
+    env = bridge.make_env(args.task, seed=args.seed)
+    ts = env.reset()
+    obs_dim = flat_obs(ts).shape[0]
+    act_spec = env.action_spec()
+    action_dim = int(np.prod(act_spec.shape))
+    T = args.episode_length
+    print(f"{args.task}: obs_dim={obs_dim} action_dim={action_dim} T={T}")
+
+    cfg = default_config(args.agent)
+    cfg = dataclasses.replace(
+        cfg, batch_size=args.batch_size,
+        num_expl_steps=args.random_episodes * T)
+    spec = EnvSpec(obs_dim=obs_dim, action_dim=action_dim,
+                   physics_dim=bridge.mj_state(env).shape[0], goal_dim=0,
+                   episode_length=T)
+    agent = make_agent(args.agent, cfg, spec)
+
+    key = jax.random.PRNGKey(args.seed)
+    key, k_init = jax.random.split(key)
+    state = agent.init(k_init)
+    buffer = ReplayBuffer(max_episodes=args.episodes, discount=0.98,
+                          future=0.99, max_episode_length=T)
+    trainer = make_offline_trainer(agent, buffer.cfg, args.batch_size,
+                                   steps_per_call=100)
+
+    cpu = jax.devices("cpu")[0]
+    act_fn = jax.jit(
+        lambda st, obs, step, k: agent.policy_act(
+            st, obs, {}, step, k, eval_mode=False))
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(args.seed)
+    global_step = 0
+    t_start = time.time()
+    for ep in range(args.episodes):
+        cpu_state = jax.device_put(state, cpu)
+        ts = env.reset()
+        rows = {"observation": [flat_obs(ts)],
+                "action": [np.zeros(action_dim, np.float32)],
+                "reward": [np.zeros(1, np.float32)],
+                "discount": [np.ones(1, np.float32)],
+                "physics": [bridge.mj_state(env).astype(np.float32)]}
+        ep_reward = 0.0
+        for t in range(T):
+            if ep < args.random_episodes:
+                action = rng.uniform(act_spec.minimum, act_spec.maximum,
+                                     act_spec.shape).astype(np.float32)
+            else:
+                key, k_act = jax.random.split(key)
+                obs = jax.device_put(
+                    jnp.asarray(rows["observation"][-1])[None], cpu)
+                action = np.asarray(
+                    act_fn(cpu_state, obs,
+                           jnp.asarray(global_step, jnp.int32),
+                           jax.device_put(k_act, cpu))[0], np.float32)
+            ts = env.step(action)
+            global_step += 1
+            r = 0.0 if ts.reward is None else float(ts.reward)
+            ep_reward += r
+            rows["observation"].append(flat_obs(ts))
+            rows["action"].append(action)
+            rows["reward"].append(np.full(1, r, np.float32))
+            rows["discount"].append(np.ones(1, np.float32))
+            rows["physics"].append(bridge.mj_state(env).astype(np.float32))
+        episode = {k: np.stack(v) for k, v in rows.items()}
+        np.savez(out_dir / f"episode_{ep:06d}_{T}.npz", **episode)
+        buffer.add_episode(episode)
+        # burst updates on the accelerator (1 update per 2 frames)
+        if ep >= args.random_episodes - 1:
+            n_calls = max(args.updates_per_episode // 100, 1)
+            for _ in range(n_calls):
+                key, k_up = jax.random.split(key)
+                state, metrics = trainer(state, buffer.state, k_up)
+        if (ep + 1) % 10 == 0 or ep == 0:
+            elapsed = time.time() - t_start
+            print(f"ep {ep + 1}/{args.episodes} task_reward {ep_reward:.1f} "
+                  f"({elapsed:.0f}s, {(ep + 1) * T / elapsed:.0f} fps)",
+                  flush=True)
+    print(f"done: {args.episodes} episodes -> {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,163 @@
+"""Zero-shot evaluation of a trained agent on the REAL dm_control stack.
+
+Closes the loop on the canonical offline recipe (reference README.md:63-78):
+after offline FB training on a real MuJoCo ExORL-format buffer, this tool
+evaluates the agent zero-shot on the actual dm_control environments — the
+same reward the PyTorch reference reports — not on this repo's native
+engines. Per task it infers z by reward regression over relabeled replay
+samples (the reference finalize battery protocol, pretrain.py:496-533 /
+_init_eval_meta:166-184) and rolls out host-side episodes with a
+CPU-jitted policy.
+
+Usage (flags before `--` are eval options; the rest rebuild the training
+workspace and must match the training invocation):
+
+  python -m tools.eval_mujoco --replay-dir exorl_data/walker_rnd \
+      --physics-format mujoco_walker \
+      --tasks walker_stand,walker_walk,walker_run,walker_flip \
+      --out results/walker_offline_mujoco -- \
+      agent=fb_ddpg task=walker_walk goal_space=walker_pos_speed_z \
+      folder=exp_local/walker_offline_mujoco
+
+Writes `<out>/test_rewards.json` (10 real-MuJoCo returns per task) and,
+with --snapshots, `<out>/eval.csv` — the primary task's return measured on
+dm_control at every saved training snapshot (a genuine cross-engine
+learning curve).
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import sys
+import typing as tp
+from pathlib import Path
+
+import numpy as np
+
+from tools import mujoco_bridge as bridge
+from tools.collect_mujoco_buffer import flat_obs
+
+
+def rollout_return(env: tp.Any, act: tp.Callable[[np.ndarray], np.ndarray],
+                   episode_length: int) -> float:
+    ts = env.reset()
+    total = 0.0
+    for _ in range(episode_length):
+        action = act(flat_obs(ts))
+        ts = env.step(action)
+        total += 0.0 if ts.reward is None else float(ts.reward)
+        if ts.last():
+            break
+    return total
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    ws_args: tp.List[str] = []
+    if "--" in argv:
+        split = argv.index("--")
+        argv, ws_args = argv[:split], argv[split + 1:]
+    p = argparse.ArgumentParser()
+    p.add_argument("--replay-dir", required=True)
+    p.add_argument("--physics-format", default="mujoco_walker")
+    p.add_argument("--tasks", default="walker_stand,walker_walk,walker_run,"
+                                      "walker_flip")
+    p.add_argument("--episodes", type=int, default=10)
+    p.add_argument("--episode-length", type=int, default=1000)
+    p.add_argument("--buffer-episodes", type=int, default=1000)
+    p.add_argument("--out", required=True)
+    p.add_argument("--snapshots", action="store_true",
+                   help="also evaluate every models/snapshot_* on the "
+                        "primary task into eval.csv")
+    p.add_argument("--seed", type=int, default=1)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from controllable_agent_tpu.data.exorl import load_exorl_episodes
+    from controllable_agent_tpu.goals import get_reward_function
+    from controllable_agent_tpu.pretrain import build_workspace
+
+    ws = build_workspace(ws_args, offline=True)
+    assert ws.global_step > 0, "no checkpoint found in the workspace folder"
+    print(f"loaded checkpoint at step {ws.global_step}")
+    episodes = load_exorl_episodes(Path(args.replay_dir),
+                                   limit=args.buffer_episodes,
+                                   physics_format=args.physics_format)
+    if ws.goal_fn is not None:
+        episodes = ({**ep, "goal": np.asarray(ws.goal_fn(ep["physics"]))}
+                    for ep in episodes)
+    ws.buffer.load_episodes(episodes)
+    print(f"buffer: {len(ws.buffer)} episodes for z inference")
+
+    cpu = jax.devices("cpu")[0]
+    agent = ws.agent
+    act_jit = jax.jit(lambda st, obs, meta, k: agent.policy_act(
+        st, obs, meta, jnp.asarray(0, jnp.int32), k, eval_mode=True))
+
+    def make_act(state: tp.Any, meta: tp.Dict[str, tp.Any]) -> tp.Callable:
+        cpu_state = jax.device_put(state, cpu)
+        cpu_meta = jax.device_put(
+            {k: jnp.asarray(v)[None] for k, v in meta.items()}, cpu)
+        key = jax.random.PRNGKey(args.seed)
+
+        def act(obs: np.ndarray) -> np.ndarray:
+            nonlocal key
+            key, k = jax.random.split(key)
+            a = act_jit(cpu_state, jax.device_put(jnp.asarray(obs)[None], cpu),
+                        cpu_meta, jax.device_put(k, cpu))
+            return np.asarray(a[0], np.float32)
+        return act
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    tasks = args.tasks.split(",")
+
+    results: tp.Dict[str, tp.List[float]] = {}
+    for task in tasks:
+        reward_fn = get_reward_function(task, ws.cfg.seed)
+        z = ws._infer_meta_from_replay(reward_fn)
+        meta = {agent.meta_key: z}
+        env = bridge.make_env(task, seed=args.seed)
+        act = make_act(ws.agent_state, meta)
+        returns = [rollout_return(env, act, args.episode_length)
+                   for _ in range(args.episodes)]
+        results[task] = returns
+        print(f"{task}: mean {np.mean(returns):.1f} "
+              f"(+- {np.std(returns):.1f})", flush=True)
+    (out_dir / "test_rewards.json").write_text(json.dumps(results))
+
+    if args.snapshots:
+        primary = ws.cfg.task
+        reward_fn = get_reward_function(primary, ws.cfg.seed)
+        env = bridge.make_env(primary, seed=args.seed)
+        snaps = sorted(
+            (ws.work_dir / "models").glob("snapshot_*"),
+            key=lambda pth: int(pth.name.split("_")[1]))
+        snaps.append(ws.work_dir / "models" / "latest")
+        rows = []
+        final_step = ws.global_step
+        for snap in snaps:
+            ws.load_checkpoint(snap, only=["agent"])
+            step = (int(snap.name.split("_")[1])
+                    if snap.name.startswith("snapshot") else final_step)
+            z = ws._infer_meta_from_replay(reward_fn)
+            act = make_act(ws.agent_state, {agent.meta_key: z})
+            returns = [rollout_return(env, act, args.episode_length)
+                       for _ in range(args.episodes)]
+            rows.append({"step": step,
+                         "episode_reward": float(np.mean(returns)),
+                         "episode_reward#std": float(np.std(returns))})
+            print(f"snapshot {step}: {primary} {np.mean(returns):.1f}",
+                  flush=True)
+        with (out_dir / "eval.csv").open("w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            writer.writeheader()
+            writer.writerows(rows)
+    print(f"wrote {out_dir}")
+
+
+if __name__ == "__main__":
+    main()
