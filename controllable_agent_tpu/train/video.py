@@ -135,6 +135,8 @@ class Renderer:
             return self._maze(physics)
         if self.domain in ("quadruped", "jaco"):
             return self._body3d(physics)
+        if self.model is None:  # no kinematic model (e.g. d4rl replay)
+            return _blank()
         return self._locomotion(physics)
 
     def _grid(self, physics: np.ndarray) -> np.ndarray:

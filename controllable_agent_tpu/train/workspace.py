@@ -73,6 +73,10 @@ class WorkspaceConfig:
     # work).
     log_every_steps: int = 1000
     custom_reward: tp.Optional[str] = None
+    # d4rl task support: path to an .npz d4rl dataset dict; used both to
+    # fill the buffer (train_offline) and to build the replay-eval env
+    # (envs/d4rl_replay.py; reference d4rl_benchmark.py:35-76)
+    d4rl_dataset: tp.Optional[str] = None
     final_tests: int = 10  # episodes per task in finalize(); 0 disables
     # milestone snapshots: frames at which to save models/snapshot_<frame>
     # (reference snapshot_at, pretrain.py:77-78; e.g. "100000,500000,2000000")
@@ -131,6 +135,14 @@ class Workspace:
             self.env: Environment = make_pixel_env(
                 cfg.task, frame_stack=cfg.frame_stack,
                 episode_length=cfg.episode_length)
+        elif cfg.task.startswith("d4rl_"):
+            # replay-eval env over the converted dataset (reference
+            # D4RLWrapper dispatch, pretrain.py:316-325)
+            from ..envs.d4rl_replay import D4RLReplayEnv
+            if cfg.d4rl_dataset is None:
+                raise ValueError("d4rl_* tasks need d4rl_dataset=<path.npz>")
+            self.env = D4RLReplayEnv.from_npz(
+                cfg.task[len("d4rl_"):], cfg.d4rl_dataset)
         else:
             self.env = make_env(cfg.task, cfg.episode_length)
         self.domain = cfg.task.split("_", 1)[0]
@@ -328,6 +340,12 @@ class Workspace:
         }
         if totals.size > 1:
             metrics["episode_reward#std"] = float(totals.std())
+        base_env = self._base_env()
+        if hasattr(base_env, "get_normalized_score"):
+            # reference pretrain.py:413-414: one normalized score per
+            # eval episode, logged as the mean
+            metrics["normalized_score"] = float(np.mean(
+                [base_env.get_normalized_score(t) for t in totals]))
         meta_key = getattr(self.agent, "meta_key", None)
         if meta_key in meta:
             metrics["z_norm"] = float(np.linalg.norm(np.asarray(meta[meta_key])))

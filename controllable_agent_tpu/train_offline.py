@@ -61,6 +61,16 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
             ws.buffer.relabel(reward_fn.from_physics)
         if ws.goal_fn is not None:
             ws.buffer.set_goals(ws.goal_fn)
+    if (ws.cfg.task.startswith("d4rl_") and ws.cfg.d4rl_dataset is not None
+            and replay_dir is None and load_replay is None):
+        # d4rl dataset -> buffer (reference D4RLReplayBufferBuilder,
+        # d4rl_benchmark.py:101-141, wired in pretrain.py:71-76)
+        import numpy as np
+        from .data.d4rl import load_d4rl_dataset
+        with np.load(ws.cfg.d4rl_dataset) as data:
+            dataset = {k: data[k] for k in data.files}
+        n = load_d4rl_dataset(ws.buffer, dataset)
+        print(f"loaded {n} d4rl episodes from {ws.cfg.d4rl_dataset}")
     if replay_dir is not None:
         episodes = load_exorl_episodes(Path(replay_dir),
                                        physics_format=physics_format)
