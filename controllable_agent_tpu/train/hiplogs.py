@@ -2,19 +2,144 @@
 
 Equivalent of the reference's hiplogs module (url_benchmark/hiplogs.py):
 the append-only JSON-lines `hip.log` files written by the Logger are
-discovered across experiment folder trees, parsed, statistics-aggregated
-(mean/min/max over steps), and exported as flat records suitable for
-hiplot parallel-coordinate exploration (`load()` mirrors hiplogs.load
-:118-148; to_hiplot_experiment :53-93 is replaced by `to_records`).
+discovered across experiment folder trees and assembled into a hiplot
+experiment — per-step datapoints chained with `from_uid` so each run
+draws as a trajectory in the parallel-coordinates view, loaded with a
+process pool across experiments (reference `load`, hiplogs.py:118-148)
+and styled like the reference (`_set_style`, :53-93).
+
+`hiplot` itself is an optional dependency: when importable the functions
+return real `hip.Experiment` objects (usable as a hiplot fetcher:
+`python -m hiplot controllable_agent_tpu.train.hiplogs.load`); otherwise
+a structural stand-in with the same `datapoints`/`to_csv`/`to_json`
+surface is returned, so the CLI works anywhere:
+
+    python -m controllable_agent_tpu.train.hiplogs results/
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import statistics
 import typing as tp
+from concurrent import futures
 from pathlib import Path
 
+
+def _flatten(d: tp.Mapping[str, tp.Any], prefix: str = "") -> tp.Dict[str, tp.Any]:
+    out: tp.Dict[str, tp.Any] = {}
+    for k, v in d.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix=f"{key}/"))
+        elif isinstance(v, (list, tuple)):
+            out[key] = str(v)
+        else:
+            out[key] = v
+    return out
+
+
+# ---------------------------------------------------- experiment model
+
+@dataclasses.dataclass
+class Datapoint:
+    """Structural stand-in for hiplot.Datapoint."""
+
+    uid: str
+    from_uid: tp.Optional[str]
+    values: tp.Dict[str, tp.Any]
+
+
+class Experiment:
+    """Structural stand-in for hiplot.Experiment (merge/export only)."""
+
+    def __init__(self) -> None:
+        self.datapoints: tp.List[Datapoint] = []
+
+    @staticmethod
+    def merge(experiments: tp.Mapping[str, "Experiment"]) -> "Experiment":
+        merged = Experiment()
+        for name, exp in experiments.items():
+            for dp in exp.datapoints:
+                merged.datapoints.append(Datapoint(
+                    uid=f"{name}_{dp.uid}",
+                    from_uid=(f"{name}_{dp.from_uid}"
+                              if dp.from_uid is not None else None),
+                    values=dp.values))
+        return merged
+
+    def columns(self) -> tp.List[str]:
+        cols: tp.Set[str] = set()
+        for dp in self.datapoints:
+            cols.update(dp.values)
+        return sorted(cols)
+
+    def to_json(self) -> str:
+        """hiplot's experiment JSON shape ({"datapoints": [...]})."""
+        return json.dumps({"datapoints": [
+            {"uid": dp.uid, "from_uid": dp.from_uid, "values": dp.values}
+            for dp in self.datapoints]})
+
+    def to_csv(self, path: tp.Union[str, Path]) -> None:
+        import csv
+        cols = ["uid", "from_uid"] + self.columns()
+        with Path(path).open("w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=cols)
+            writer.writeheader()
+            for dp in self.datapoints:
+                writer.writerow({"uid": dp.uid, "from_uid": dp.from_uid,
+                                 **dp.values})
+
+
+def _hip() -> tp.Any:
+    try:
+        import hiplot  # type: ignore
+        return hiplot
+    except ImportError:
+        return None
+
+
+def _set_style(exp: tp.Any) -> None:
+    """Reference styling (_set_style, hiplogs.py:53-93): hide the noisy
+    train/eval series except episode/loss/reward, badge-color the rest.
+    No-op on the structural stand-in."""
+    hip = _hip()
+    if hip is None or not isinstance(exp, hip.Experiment):
+        return
+    cols = set(x for dp in exp.datapoints for x in dp.values.keys())
+    internals = ["workdir", "#now", "train/episode", "eval/episode",
+                 "#time", "#reloaded", "#job_id"]
+    hidden = [x for x in cols if x.startswith(("eval/", "train/"))]
+    hidden = [x for x in hidden
+              if not any(y in x for y in ("episode", "loss"))]
+    exp.display_data(hip.Displays.PARALLEL_PLOT).update(
+        {"hide": ["uid", "from_uid"] + hidden})
+    exp.display_data(hip.Displays.XY).update(
+        {"lines_thickness": 1.4, "lines_opacity": 0.9,
+         "axis_x": "eval/episode", "axis_y": "eval/episode_reward"})
+    badge = {
+        "metrics": "badge badge-pill badge-primary",
+        "internal": "badge badge-pill badge-secondary",
+        "other": "badge badge-pill badge-danger",
+    }
+    styles: tp.Dict[str, str] = {}
+    styles.update({name: badge["metrics"] for name in cols
+                   if name.startswith(("eval/", "train/"))
+                   and not any(y in name
+                               for y in ("/episode", "episode_reward"))})
+    styles.update({name: badge["other"]
+                   for name in ("eval/episode_reward",
+                                "train/episode_reward")})
+    styles.update({name: badge["internal"] for name in internals})
+    styles["experiment"] = badge["other"]
+    for col in cols:
+        for start, style in styles.items():
+            if col.startswith(start):
+                exp.parameters_definition[col].label_css = style
+
+
+# ------------------------------------------------------------- reader
 
 class HipLog:
     """Reader/aggregator for one hip.log file (reference HipLog,
@@ -61,12 +186,128 @@ class HipLog:
             out[f"{k}_last"] = vals[-1]
         return out
 
+    def to_experiment(self, step: int = 10) -> Experiment:
+        """One experiment per run: every `step`-th log row becomes a
+        datapoint chained to the previous one via from_uid (reference
+        to_hiplot_experiment, hiplogs.py:53-93 usage in load), with the
+        flattened config.json merged into every datapoint so config
+        columns appear on the parallel axes."""
+        hip = _hip()
+        exp: tp.Any = hip.Experiment() if hip is not None else Experiment()
+        xp_name = self.filepath.parent.name
+        base: tp.Dict[str, tp.Any] = {"experiment": xp_name,
+                                      "workdir": str(self.filepath.parent)}
+        cfg_path = self.filepath.parent / "config.json"
+        if cfg_path.exists():
+            try:
+                base.update(_flatten(json.loads(cfg_path.read_text())))
+            except json.JSONDecodeError:
+                pass
+        rows = self.read()
+        prev_uid: tp.Optional[str] = None
+        for k, row in enumerate(rows):
+            if step > 1 and k % step and k != len(rows) - 1:
+                continue
+            values = dict(base)
+            values.update(row)
+            uid = f"{xp_name}_{k}"
+            if hip is not None:
+                dp = hip.Datapoint(uid=uid, from_uid=prev_uid, values=values)
+            else:
+                dp = Datapoint(uid=uid, from_uid=prev_uid, values=values)
+            exp.datapoints.append(dp)
+            prev_uid = uid
+        return exp
 
-def load(folder: tp.Union[str, Path],
-         pattern: str = "**/hip.log") -> tp.List[tp.Dict[str, tp.Any]]:
-    """Discover and flatten all experiment logs under a folder tree
-    (reference hiplogs.load, url_benchmark/hiplogs.py:118-148). Each
-    record = flattened config.json (if present) + aggregated metrics."""
+
+def create_csv_experiment(uri: tp.Union[str, Path],
+                          step: int = 1) -> Experiment:
+    """Experiment from a train/eval csv (reference
+    create_hiplot_experiment, hiplogs.py:96-116): one chained datapoint
+    per row, tagged with the xp folder and csv stem."""
+    import csv
+    hip = _hip()
+    uri = Path(uri)
+    exp: tp.Any = hip.Experiment() if hip is not None else Experiment()
+    base: tp.Dict[str, tp.Any] = {"experiment": uri.parent.name,
+                                  "workdir": str(uri.parent),
+                                  "mode": uri.stem}
+    cfg_path = uri.parent / "config.json"
+    if cfg_path.exists():
+        try:
+            base.update(_flatten(json.loads(cfg_path.read_text())))
+        except json.JSONDecodeError:
+            pass
+    with uri.open() as f:
+        rows = list(csv.DictReader(f))
+    prev_uid: tp.Optional[str] = None
+    for k, row in enumerate(rows):
+        if step > 1 and k % step and k != len(rows) - 1:
+            continue
+        values = dict(base)
+        for key, val in row.items():
+            try:
+                values[key] = float(val)
+            except (TypeError, ValueError):
+                values[key] = val
+        uid = f"{uri.parent.name}_{uri.stem}_{k}"
+        dp_cls: tp.Any = hip.Datapoint if hip is not None else Datapoint
+        exp.datapoints.append(dp_cls(uid=uid, from_uid=prev_uid,
+                                     values=values))
+        prev_uid = uid
+    return exp
+
+
+def _one_experiment(args: tp.Tuple[str, int]) -> Experiment:
+    path, step = args
+    if path.endswith(".csv"):
+        return create_csv_experiment(path, step)
+    return HipLog(path).to_experiment(step)
+
+
+def load(uri: tp.Union[Path, str], step: int = 10) -> tp.Any:
+    """Walk an experiment tree, parse every run's hip.log in a process
+    pool, and merge into one experiment (reference load,
+    url_benchmark/hiplogs.py:118-148). Usable directly as a hiplot
+    fetcher: `python -m hiplot controllable_agent_tpu.train.hiplogs.load`
+    then paste experiment folders into the freeform."""
+    uri = Path(uri)
+    if str(uri).startswith("#"):  # deactivated line in the freeform
+        hip = _hip()
+        return hip.Experiment() if hip is not None else Experiment()
+    assert uri.is_dir(), f"uri should be a valid directory, got {uri}"
+    # every run folder contributes its hip.log, or its eval.csv when no
+    # hip.log was kept (reference globs eval.csv, hiplogs.py:140-146)
+    log_paths = []
+    run_dirs = {p.parent for p in uri.rglob("hip.log")}
+    run_dirs |= {p.parent for p in uri.rglob("eval.csv")}
+    for d in sorted(run_dirs):
+        if (d / "hip.log").exists():
+            log_paths.append(str(d / "hip.log"))
+        else:
+            log_paths.append(str(d / "eval.csv"))
+    exps: tp.List[Experiment] = []
+    if _hip() is None and len(log_paths) > 1:
+        # the structural stand-in pickles cleanly -> parallel tree load
+        try:
+            with futures.ProcessPoolExecutor() as executor:
+                exps = list(executor.map(
+                    _one_experiment, [(p, step) for p in log_paths]))
+        except (OSError, RuntimeError):  # no subprocess support
+            exps = []
+    if not exps:
+        exps = [_one_experiment((p, step)) for p in log_paths]
+    hip = _hip()
+    cls: tp.Any = hip.Experiment if hip is not None else Experiment
+    exp = cls.merge({str(k): xp for k, xp in enumerate(exps)})
+    _set_style(exp)
+    return exp
+
+
+def aggregate_tree(folder: tp.Union[str, Path],
+                   pattern: str = "**/hip.log") -> tp.List[tp.Dict[str, tp.Any]]:
+    """One flat record per experiment (config + metric aggregates) — the
+    summary-table view of the same tree."""
     folder = Path(folder)
     records: tp.List[tp.Dict[str, tp.Any]] = []
     for log_path in sorted(folder.glob(pattern)):
@@ -74,7 +315,7 @@ def load(folder: tp.Union[str, Path],
         cfg_path = log_path.parent / "config.json"
         if cfg_path.exists():
             try:
-                record.update(json.loads(cfg_path.read_text()))
+                record.update(_flatten(json.loads(cfg_path.read_text())))
             except json.JSONDecodeError:
                 pass
         record.update(HipLog(log_path).aggregate())
@@ -83,17 +324,35 @@ def load(folder: tp.Union[str, Path],
 
 
 def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
-    """CLI: flatten every experiment under a folder tree to JSON lines
-    (the reference's `python -m hiplot url_benchmark.hiplogs.load` niche,
-    README.md:80-86 — records are hiplot-ready flat dicts)."""
+    """CLI: merge every run under a folder tree into one hiplot-ready
+    experiment (reference `python -m hiplot url_benchmark.hiplogs.load`,
+    README.md:80-86). Writes <folder>/hiplot_experiment.csv + .json and
+    prints a per-experiment summary table."""
     import sys
     args = list(argv if argv is not None else sys.argv[1:])
     if not args or "--help" in args or "-h" in args:
         print(__doc__)
-        print("usage: python -m controllable_agent_tpu.train.hiplogs FOLDER")
+        print("usage: python -m controllable_agent_tpu.train.hiplogs FOLDER "
+              "[--step N]")
         return
-    for record in load(args[0]):
-        print(json.dumps(record))
+    step = 10
+    if "--step" in args:
+        i = args.index("--step")
+        step = int(args[i + 1])
+        del args[i:i + 2]
+    folder = Path(args[0])
+    exp = load(folder, step=step)
+    out_csv = folder / "hiplot_experiment.csv"
+    exp.to_csv(out_csv)
+    (folder / "hiplot_experiment.json").write_text(exp.to_json())
+    n_xp = len({dp.values.get("experiment") for dp in exp.datapoints})
+    print(f"merged {n_xp} experiments, {len(exp.datapoints)} datapoints, "
+          f"{len(exp.columns())} columns -> {out_csv}")
+    for record in aggregate_tree(folder):
+        summary = {k: record[k] for k in
+                   ("xp", "episode_reward_max", "episode_reward_last",
+                    "step_last") if k in record}
+        print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -57,8 +57,41 @@ def test_hiplog_aggregation(tmp_path) -> None:
     assert agg["eval_reward_max"] == 3.0
     assert agg["eval_reward_last"] == 3.0
     (path.parent / "config.json").write_text(json.dumps({"task": "x"}))
-    records = load(tmp_path)
+    from controllable_agent_tpu.train.hiplogs import aggregate_tree
+    records = aggregate_tree(tmp_path)
     assert len(records) == 1 and records[0]["task"] == "x"
+
+
+def test_hiplot_experiment_loader(tmp_path) -> None:
+    """Tree walk -> merged experiment with chained datapoints (reference
+    hiplogs.load, url_benchmark/hiplogs.py:118-148), including the
+    eval.csv fallback for runs without a hip.log."""
+    xp1 = tmp_path / "xp1"
+    xp1.mkdir()
+    log = JsonlLogger(xp1 / "hip.log")
+    for v in (1.0, 2.0, 3.0):
+        log(eval_reward=v).write()
+    (xp1 / "config.json").write_text(json.dumps({"task": "a", "seed": 1}))
+    xp2 = tmp_path / "xp2"
+    xp2.mkdir()
+    (xp2 / "eval.csv").write_text(
+        "episode,episode_reward\n1,5.0\n2,6.0\n")
+    (xp2 / "config.json").write_text(json.dumps({"task": "b", "seed": 2}))
+    exp = load(tmp_path, step=1)
+    assert len(exp.datapoints) == 5
+    # config columns land on every datapoint; runs chain via from_uid
+    xps = {dp.values["experiment"] for dp in exp.datapoints}
+    assert xps == {"xp1", "xp2"}
+    chains = [dp for dp in exp.datapoints if dp.from_uid is None]
+    assert len(chains) == 2  # one chain head per run
+    csv_dp = [dp for dp in exp.datapoints if dp.values["experiment"] == "xp2"]
+    assert csv_dp[0].values["task"] == "b"
+    assert csv_dp[1].values["episode_reward"] == 6.0
+    assert csv_dp[1].from_uid == csv_dp[0].uid
+    # exports
+    exp.to_csv(tmp_path / "out.csv")
+    assert (tmp_path / "out.csv").read_text().startswith("uid,from_uid")
+    assert "datapoints" in exp.to_json()
 
 
 def test_float_stats() -> None:
