@@ -50,7 +50,8 @@ def main() -> None:
             "discount": np.ones((T + 1, 1), np.float32),
         })
 
-    steps_per_call = 50
+    import os
+    steps_per_call = int(os.environ.get("BENCH_STEPS_PER_CALL", "50"))
     trainer = make_offline_trainer(agent, buf.cfg, cfg.batch_size,
                                    steps_per_call)
     state = agent.init(jax.random.key(0))

@@ -39,10 +39,16 @@ Array = jnp.ndarray
 
 
 class SampleConfig(struct.PyTreeNode):
-    """Static sampling knobs (discount, future horizon)."""
+    """Static sampling knobs (discount, future horizon, n-step)."""
 
     discount: float = struct.field(pytree_node=False, default=0.99)
     future: float = struct.field(pytree_node=False, default=0.99)
+    # n-step returns (the ExORL disk-loader semantics the DDPG family's
+    # `nstep` config expects; the reference's in-memory buffer is 1-step
+    # only): reward = sum_i prod_{j<i}(d_j*gamma) r_{t+i}, discount =
+    # prod_i (d_i*gamma), next_obs at t+nstep-1 — start steps sampled so
+    # the full window fits inside the episode.
+    nstep: int = struct.field(pytree_node=False, default=1)
 
 
 class ReplayState(struct.PyTreeNode):
@@ -108,13 +114,16 @@ def add_episode(state: ReplayState, episode: tp.Dict[str, Array],
 
 
 def _sample_indices(state: ReplayState, key: jax.Array, batch_size: int,
-                    future: float) -> tp.Tuple[Array, Array, Array]:
+                    future: float, nstep: int = 1
+                    ) -> tp.Tuple[Array, Array, Array]:
     """Draw (episode, step, future-step) indices.
 
     Matches reference semantics (in_memory_replay_buffer.py:146-161):
     episodes drawn with probability proportional to length (which reduces to
     uniform when lengths are equal), steps uniform in [1, len], future step
-    geometric past the current step, clipped to episode end.
+    geometric past the current step, clipped to episode end. With nstep > 1
+    the start step is uniform in [1, len - nstep + 1] so the full n-step
+    window fits (the ExORL disk-loader convention).
     """
     k_ep, k_step, k_future = jax.random.split(key, 3)
     valid = jnp.arange(state.max_episodes) < state.n_episodes
@@ -125,7 +134,8 @@ def _sample_indices(state: ReplayState, key: jax.Array, batch_size: int,
         shape=(batch_size,))
     lengths = state.ep_lengths[ep_idx]
     u = jax.random.uniform(k_step, (batch_size,))
-    step_idx = (u * lengths.astype(jnp.float32)).astype(jnp.int32) + 1
+    n_starts = jnp.maximum(lengths - (nstep - 1), 1)
+    step_idx = (u * n_starts.astype(jnp.float32)).astype(jnp.int32) + 1
     # geometric: k >= 1 with success prob (1 - future)
     if future < 1.0:
         g = jax.random.uniform(k_future, (batch_size,), minval=1e-10, maxval=1.0)
@@ -140,7 +150,8 @@ def sample(state: ReplayState, key: jax.Array, batch_size: int,
            cfg: SampleConfig, with_physics: bool = False,
            with_future: bool = True) -> EpisodeBatch:
     """Pure batched gather; jittable (and fusable into the learner step)."""
-    ep_idx, step_idx, future_idx = _sample_indices(state, key, batch_size, cfg.future)
+    ep_idx, step_idx, future_idx = _sample_indices(state, key, batch_size,
+                                                   cfg.future, cfg.nstep)
     s = state.storage
 
     def at(name: str, t: Array) -> Array:
@@ -150,6 +161,21 @@ def sample(state: ReplayState, key: jax.Array, batch_size: int,
         # axis; don't "simplify" to a flat gather.
         return s[name][ep_idx, t]
 
+    if cfg.nstep > 1:
+        # n-step return accumulation (ExORL loader semantics; the small
+        # static loop unrolls into fused gathers)
+        reward = jnp.zeros_like(at("reward", step_idx))
+        running = jnp.ones_like(reward)
+        for i in range(cfg.nstep):
+            reward = reward + running * at("reward", step_idx + i)
+            running = running * at("discount", step_idx + i) * cfg.discount
+        discount = running
+        next_t = step_idx + cfg.nstep - 1
+    else:
+        reward = at("reward", step_idx)
+        discount = cfg.discount * at("discount", step_idx)
+        next_t = step_idx
+
     batch_names = {"observation", "action", "reward", "discount", "goal",
                    "physics", "step_type"}
     has_goal = "goal" in s
@@ -157,11 +183,11 @@ def sample(state: ReplayState, key: jax.Array, batch_size: int,
     return EpisodeBatch(
         obs=at("observation", step_idx - 1),
         action=at("action", step_idx),
-        reward=at("reward", step_idx),
-        discount=cfg.discount * at("discount", step_idx),
-        next_obs=at("observation", step_idx),
+        reward=reward,
+        discount=discount,
+        next_obs=at("observation", next_t),
         goal=at("goal", step_idx - 1) if has_goal else None,
-        next_goal=at("goal", step_idx) if has_goal else None,
+        next_goal=at("goal", next_t) if has_goal else None,
         future_obs=at("observation", future_idx - 1) if (with_future and cfg.future < 1) else None,
         future_goal=at("goal", future_idx - 1) if (has_goal and with_future and cfg.future < 1) else None,
         physics=at("physics", step_idx) if (with_physics and "physics" in s) else None,

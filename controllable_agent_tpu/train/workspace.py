@@ -188,6 +188,13 @@ class Workspace:
             max_episodes=cfg.replay_buffer_episodes, discount=cfg.discount,
             future=cfg.future,
             max_episode_length=self.env.spec.episode_length)
+        # honor the DDPG family's nstep (the reference carries nstep=3 in
+        # DDPGConfig from ExORL but its in-memory buffer ignores it; the
+        # ExORL disk loader — the pipeline that generated the published
+        # exploration datasets — applies it, so we do too)
+        nstep = int(getattr(self.agent.cfg, "nstep", 1) or 1)
+        if nstep > 1:
+            self.buffer.cfg = self.buffer.cfg.replace(nstep=nstep)
         self.logger = Logger(self.work_dir, use_console=cfg.use_console,
                              use_tb=cfg.use_tb, use_wandb=cfg.use_wandb,
                              wandb_config=dataclasses.asdict(cfg))

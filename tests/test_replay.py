@@ -130,3 +130,49 @@ def test_sample_jits_with_state_donation() -> None:
     fn = jax.jit(sample, static_argnums=(2,))
     batch = fn(buf.state, jax.random.key(0), 16, buf.cfg)
     assert batch.obs.shape == (16, 3)
+
+
+def test_nstep_sampling_semantics() -> None:
+    """n-step returns match the ExORL disk-loader convention: reward =
+    sum_i prod_{j<i}(d_j*gamma) r_{t+i}, discount = prod_i(d_i*gamma),
+    next_obs at t+n-1 offset, window always inside the episode."""
+    import jax
+    import jax.numpy as jnp
+    from controllable_agent_tpu.data.replay import (ReplayBuffer,
+                                                    SampleConfig, sample)
+    T, n = 12, 3
+    gamma = 0.9
+    buf = ReplayBuffer(max_episodes=2, discount=gamma, future=0.99,
+                       max_episode_length=T)
+    buf.cfg = buf.cfg.replace(nstep=n)
+    rng = np.random.RandomState(3)
+    for _ in range(2):
+        buf.add_episode({
+            "observation": rng.randn(T + 1, 4).astype(np.float32),
+            "action": rng.uniform(-1, 1, (T + 1, 2)).astype(np.float32),
+            "reward": rng.rand(T + 1, 1).astype(np.float32),
+            "discount": np.ones((T + 1, 1), np.float32),
+        })
+    batch = sample(buf.state, jax.random.PRNGKey(0), 256, buf.cfg)
+    obs_store = np.asarray(buf.state.storage["observation"])
+    rew_store = np.asarray(buf.state.storage["reward"])
+    b_obs = np.asarray(batch.obs)
+    b_next = np.asarray(batch.next_obs)
+    b_rew = np.asarray(batch.reward)
+    b_disc = np.asarray(batch.discount)
+    # discount is gamma^n everywhere (stored discounts are 1)
+    np.testing.assert_allclose(b_disc, gamma ** n, rtol=1e-5)
+    # reconstruct each sample's (episode, step) from obs and check the
+    # n-step reward and the t+n-1 next_obs offset
+    flat = obs_store.reshape(-1, 4)
+    for i in range(40):
+        match = np.where((flat == b_obs[i]).all(-1))[0]
+        assert len(match) == 1
+        e, t0 = divmod(int(match[0]), T + 1)
+        step = t0 + 1  # obs is at step-1
+        assert step + n - 1 <= T  # full window inside the episode
+        expected = sum(gamma ** j * rew_store[e, step + j, 0]
+                       for j in range(n))
+        np.testing.assert_allclose(b_rew[i, 0], expected, rtol=1e-4)
+        np.testing.assert_array_equal(b_next[i],
+                                      obs_store[e, step + n - 1])

@@ -77,8 +77,11 @@ def main() -> None:
     key = jax.random.PRNGKey(args.seed)
     key, k_init = jax.random.split(key)
     state = agent.init(k_init)
-    buffer = ReplayBuffer(max_episodes=args.episodes, discount=0.98,
+    buffer = ReplayBuffer(max_episodes=args.episodes, discount=0.99,
                           future=0.99, max_episode_length=T)
+    nstep = int(getattr(cfg, "nstep", 1) or 1)
+    if nstep > 1:  # ExORL exploration agents train on n-step returns
+        buffer.cfg = buffer.cfg.replace(nstep=nstep)
     trainer = make_offline_trainer(agent, buffer.cfg, args.batch_size,
                                    steps_per_call=100)
 
