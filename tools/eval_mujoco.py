@@ -83,6 +83,13 @@ def main() -> None:
     ws = build_workspace(ws_args, offline=True)
     assert ws.global_step > 0, "no checkpoint found in the workspace folder"
     print(f"loaded checkpoint at step {ws.global_step}")
+    # z inference must see ONLY the foreign (MuJoCo) episodes — drop any
+    # replay shard the checkpoint restored
+    from controllable_agent_tpu.data.replay import ReplayBuffer
+    ws.buffer = ReplayBuffer(
+        max_episodes=args.buffer_episodes, discount=ws.cfg.discount,
+        future=ws.cfg.future,
+        max_episode_length=ws.env.spec.episode_length)
     episodes = load_exorl_episodes(Path(args.replay_dir),
                                    limit=args.buffer_episodes,
                                    physics_format=args.physics_format)
