@@ -16,11 +16,19 @@ boundary walls and the robot's collision spheres; one-way coupling — the
 ~1 kg ball's reaction on the ~40 kg robot is neglected) with the
 reference's reach*(0.5+0.5*fetch)*upright reward (:600-646).
 
+Actions pass through a first-order filter (time constant 0.1 s) before
+the position servos — the reference's MJCF actuators are filtered the
+same way (quadruped.xml:57 ``dyntype="filter" dynprm=".1"``), which
+smooths exploration noise into continuous servo targets; without it the
+14-dof walker falls under jittery random targets and online exploration
+stalls. The filter state is part of the observation, as the reference's
+``egocentric_state`` includes ``data.act``.
+
 Observation layout (stand/walk/run/jump/roll): [joint angles (8), joint
 velocities (8), torso rotation rows x/z (6), torso height (1), torso
-linear velocity (3), torso angular velocity (3)] -> 29. escape appends
-origin (3) + rangefinder (20) -> 52; fetch appends ball_state (9) +
-target_position (3) -> 41.
+linear velocity (3), torso angular velocity (3), actuator filter state
+(8)] -> 37. escape appends origin (3) + rangefinder (20) -> 60; fetch
+appends ball_state (9) + target_position (3) -> 49.
 
 Goal features (goals/spaces.py quadruped layout):
 [up, 0, x, y, z, vx, vy, vz].
@@ -63,6 +71,9 @@ _WORKSPACE_RADIUS = 0.3
 
 TASKS = ["stand", "walk", "run", "jump", "roll", "roll_fast",
          "escape", "fetch"]
+
+# actuator first-order filter time constant (reference quadruped.xml:57)
+_ACT_TAU = 0.1
 
 # geometry
 _TORSO_HALF = (0.23, 0.23, 0.07)
@@ -140,6 +151,7 @@ class QuadState(struct.PyTreeNode):
     qd: Array
     touch: Array
     t: Array
+    act: Array  # [nj] actuator filter state (filtered servo commands)
 
 
 def quad_features_single(model: p3d.Model3D, physics: Array) -> Array:
@@ -159,8 +171,10 @@ class QuadrupedEnv(Environment):
         self.model = quadruped_model()
         self.episode_length = episode_length
         self.control_dt, self.n_substeps = 0.02, 8
+        # exact discrete step of d(act)/dt = (ctrl - act)/tau over control_dt
+        self._act_decay = float(np.exp(-self.control_dt / _ACT_TAU))
         ndof = self.model.ndof
-        self.spec = EnvSpec(obs_dim=29, action_dim=8, physics_dim=2 * ndof,
+        self.spec = EnvSpec(obs_dim=37, action_dim=8, physics_dim=2 * ndof,
                             goal_dim=0, episode_length=episode_length)
 
     # -- observables -------------------------------------------------------
@@ -168,7 +182,8 @@ class QuadrupedEnv(Environment):
         q, qd = state.q, state.qd
         rot = p3d._euler_rot(q[3:6])
         return jnp.concatenate([
-            q[6:], qd[6:], rot[0], rot[2], q[2:3], qd[0:3], qd[3:6]])
+            q[6:], qd[6:], rot[0], rot[2], q[2:3], qd[0:3], qd[3:6],
+            state.act])
 
     def _physics(self, state: QuadState) -> Array:
         return jnp.concatenate([state.q, state.qd])
@@ -217,7 +232,7 @@ class QuadrupedEnv(Environment):
             jnp.asarray([0.0, 0.0, _INIT_Z, 0.0, 0.0, 0.0]), base + u])
         state = QuadState(q=q, qd=jnp.zeros(self.model.ndof),
                           touch=jnp.zeros_like(self.model.contact_radius),
-                          t=jnp.zeros((), jnp.int32))
+                          t=jnp.zeros((), jnp.int32), act=jnp.zeros(nj))
         ts = TimeStep(
             step_type=jnp.asarray(StepType.FIRST, jnp.int32),
             reward=jnp.zeros(()),
@@ -228,13 +243,17 @@ class QuadrupedEnv(Environment):
         )
         return state, ts
 
+    def _filter_act(self, act: Array, action: Array) -> Array:
+        return action + (act - action) * self._act_decay
+
     def step(self, state: QuadState, action: Array
              ) -> tp.Tuple[QuadState, TimeStep]:
         action = jnp.clip(action.astype(jnp.float32), -1.0, 1.0)
-        q, qd, touch = p3d.step(self.model, state.q, state.qd, action,
+        act = self._filter_act(state.act, action)
+        q, qd, touch = p3d.step(self.model, state.q, state.qd, act,
                                 self.control_dt, self.n_substeps)
         t = state.t + 1
-        new_state = QuadState(q=q, qd=qd, touch=touch, t=t)
+        new_state = QuadState(q=q, qd=qd, touch=touch, t=t, act=act)
         physics = self._physics(new_state)
         ts = TimeStep(
             step_type=jnp.where(t >= self.episode_length, StepType.LAST,
@@ -261,6 +280,7 @@ class EscapeState(struct.PyTreeNode):
     qd: Array
     touch: Array
     t: Array
+    act: Array
     terrain: Array  # [res, res] world-z heights
 
 
@@ -290,7 +310,7 @@ class QuadrupedEscapeEnv(QuadrupedEnv):
         super().__init__("stand", episode_length=episode_length)
         self.task = "escape"
         ndof = self.model.ndof
-        self.spec = EnvSpec(obs_dim=29 + 3 + _N_RANGEFINDERS, action_dim=8,
+        self.spec = EnvSpec(obs_dim=37 + 3 + _N_RANGEFINDERS, action_dim=8,
                             physics_dim=2 * ndof, goal_dim=0,
                             episode_length=episode_length)
         # forward fan of downward-pitched rays (reference rf_* sites,
@@ -340,7 +360,8 @@ class QuadrupedEscapeEnv(QuadrupedEnv):
         z0 = p3d.hf_height(self._hfield(terrain), jnp.zeros(2))
         q = base_state.q.at[2].add(z0)
         state = EscapeState(q=q, qd=base_state.qd, touch=base_state.touch,
-                            t=base_state.t, terrain=terrain)
+                            t=base_state.t, act=base_state.act,
+                            terrain=terrain)
         ts = TimeStep(
             step_type=jnp.asarray(StepType.FIRST, jnp.int32),
             reward=jnp.zeros(()),
@@ -354,11 +375,12 @@ class QuadrupedEscapeEnv(QuadrupedEnv):
     def step(self, state: EscapeState, action: Array
              ) -> tp.Tuple[EscapeState, TimeStep]:
         action = jnp.clip(action.astype(jnp.float32), -1.0, 1.0)
-        q, qd, touch = p3d.step(self.model, state.q, state.qd, action,
+        act = self._filter_act(state.act, action)
+        q, qd, touch = p3d.step(self.model, state.q, state.qd, act,
                                 self.control_dt, self.n_substeps,
                                 hfield=self._hfield(state.terrain))
         t = state.t + 1
-        new_state = EscapeState(q=q, qd=qd, touch=touch, t=t,
+        new_state = EscapeState(q=q, qd=qd, touch=touch, t=t, act=act,
                                 terrain=state.terrain)
         physics = self._physics(new_state)
         ts = TimeStep(
@@ -378,6 +400,7 @@ class FetchState(struct.PyTreeNode):
     qd: Array
     touch: Array
     t: Array
+    act: Array
     ball_pos: Array  # [3]
     ball_vel: Array  # [3]
     ball_angvel: Array  # [3]
@@ -390,7 +413,7 @@ class QuadrupedFetchEnv(QuadrupedEnv):
         super().__init__("stand", episode_length=episode_length)
         self.task = "fetch"
         ndof = self.model.ndof
-        self.spec = EnvSpec(obs_dim=29 + 9 + 3, action_dim=8,
+        self.spec = EnvSpec(obs_dim=37 + 9 + 3, action_dim=8,
                             physics_dim=2 * ndof + 9, goal_dim=0,
                             episode_length=episode_length)
 
@@ -487,8 +510,9 @@ class QuadrupedFetchEnv(QuadrupedEnv):
         ball_vel = jnp.concatenate([5.0 * jax.random.normal(k_bv, (2,)),
                                     jnp.zeros(1)])
         state = FetchState(q=q, qd=base_state.qd, touch=base_state.touch,
-                           t=base_state.t, ball_pos=ball_pos,
-                           ball_vel=ball_vel, ball_angvel=jnp.zeros(3))
+                           t=base_state.t, act=base_state.act,
+                           ball_pos=ball_pos, ball_vel=ball_vel,
+                           ball_angvel=jnp.zeros(3))
         ts = TimeStep(
             step_type=jnp.asarray(StepType.FIRST, jnp.int32),
             reward=jnp.zeros(()),
@@ -502,7 +526,8 @@ class QuadrupedFetchEnv(QuadrupedEnv):
     def step(self, state: FetchState, action: Array
              ) -> tp.Tuple[FetchState, TimeStep]:
         action = jnp.clip(action.astype(jnp.float32), -1.0, 1.0)
-        q, qd, touch = p3d.step(self.model, state.q, state.qd, action,
+        act = self._filter_act(state.act, action)
+        q, qd, touch = p3d.step(self.model, state.q, state.qd, act,
                                 self.control_dt, self.n_substeps)
         # ball integrated against the robot's post-step collision spheres
         # (one control step of lag in the coupling is acceptable at 20 ms)
@@ -518,7 +543,7 @@ class QuadrupedFetchEnv(QuadrupedEnv):
             sub, (state.ball_pos, state.ball_vel, state.ball_angvel), None,
             length=self.n_substeps)
         t = state.t + 1
-        new_state = FetchState(q=q, qd=qd, touch=touch, t=t,
+        new_state = FetchState(q=q, qd=qd, touch=touch, t=t, act=act,
                                ball_pos=ball_pos, ball_vel=ball_vel,
                                ball_angvel=ball_av)
         physics = self._physics(new_state)

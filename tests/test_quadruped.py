@@ -126,13 +126,13 @@ def test_vmapped_episode() -> None:
     step = jax.jit(jax.vmap(env.step))
     for _ in range(3):
         states, ts = step(states, jnp.zeros((3, 8)))
-    assert ts.observation.shape == (3, 29)
+    assert ts.observation.shape == (3, 37)
     assert np.isfinite(np.asarray(ts.observation)).all()
 
 def test_escape_env() -> None:
     env = quadruped.make("quadruped_escape", episode_length=50)
     state, ts = env.reset(jax.random.key(0))
-    assert ts.observation.shape == (env.spec.obs_dim,) == (52,)
+    assert ts.observation.shape == (env.spec.obs_dim,) == (60,)
     step = jax.jit(env.step)
     rewards = []
     for i in range(30):
@@ -172,7 +172,7 @@ def test_escape_terrain_generation() -> None:
 def test_fetch_env() -> None:
     env = quadruped.make("quadruped_fetch", episode_length=50)
     state, ts = env.reset(jax.random.key(0))
-    assert ts.observation.shape == (env.spec.obs_dim,) == (41,)
+    assert ts.observation.shape == (env.spec.obs_dim,) == (49,)
     assert ts.physics.shape == (env.spec.physics_dim,)
     v0 = float(jnp.linalg.norm(state.ball_vel))
     step = jax.jit(env.step)
@@ -236,6 +236,28 @@ def test_quadruped_positions_goal_space() -> None:
     # the registered goal: everything at the origin target
     _, goal_fn = gs.goals.lookup("quadruped_fetch")
     np.testing.assert_allclose(goal_fn(), np.zeros(6))
+
+
+def test_actuator_filter() -> None:
+    """Actions are low-passed exactly like the reference MJCF actuators
+    (quadruped.xml:57 dyntype=filter dynprm=.1): a unit control step
+    converges to the target with time constant 0.1 s, and the filter
+    state is observable (last 8 obs entries)."""
+    env = QuadrupedEnv("stand", episode_length=50)
+    state, ts = env.reset(jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(ts.observation[-8:]), 0.0)
+    step = jax.jit(env.step)
+    a = jnp.ones(8)
+    expected = 0.0
+    decay = np.exp(-env.control_dt / quadruped._ACT_TAU)
+    for _ in range(10):
+        state, ts = step(state, a)
+        expected = 1.0 + (expected - 1.0) * decay
+        np.testing.assert_allclose(np.asarray(state.act),
+                                   np.full(8, expected), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ts.observation[-8:]),
+                               np.asarray(state.act), rtol=1e-6)
+    assert 0.8 < expected < 0.9  # ~86% of the way after 0.2 s
 
 
 def test_servo_stance_is_statically_stable() -> None:
