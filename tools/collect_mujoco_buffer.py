@@ -48,6 +48,10 @@ def main() -> None:
     p.add_argument("--updates-per-episode", type=int, default=500)
     p.add_argument("--batch-size", type=int, default=1024)
     p.add_argument("--episode-length", type=int, default=1000)
+    p.add_argument("--policy-refresh-every", type=int, default=5,
+                   help="episodes between TPU->host policy snapshots (the "
+                        "full train state is ~100 MB through the relay; "
+                        "a slightly stale exploration policy is free)")
     args = p.parse_args()
 
     import jax
@@ -74,9 +78,15 @@ def main() -> None:
                    episode_length=T)
     agent = make_agent(args.agent, cfg, spec)
 
-    key = jax.random.PRNGKey(args.seed)
+    cpu0 = jax.devices("cpu")[0]
+    key = jax.device_put(jax.random.PRNGKey(args.seed), cpu0)
     key, k_init = jax.random.split(key)
-    state = agent.init(k_init)
+    # init eagerly on the host: un-jitted flax init is dozens of small ops,
+    # each a relay round-trip on the TPU (~10 min); on CPU it is seconds,
+    # then one bulk upload moves the state to the accelerator.
+    with jax.default_device(cpu0):
+        state = agent.init(k_init)
+    state = jax.device_put(state, jax.devices()[0])
     buffer = ReplayBuffer(max_episodes=args.episodes, discount=0.99,
                           future=0.99, max_episode_length=T)
     nstep = int(getattr(cfg, "nstep", 1) or 1)
@@ -95,8 +105,25 @@ def main() -> None:
     rng = np.random.RandomState(args.seed)
     global_step = 0
     t_start = time.time()
+    # EVERY per-step array must be committed to the host CPU device —
+    # an uncommitted jnp.asarray lands on the default (TPU) device and
+    # each touch is a relay round-trip; with 1000 act calls per episode
+    # that turns a ~5 s episode into ~5 min. The PRNG key lives on CPU so
+    # jax.random.split stays host-local, and the train state snapshot is
+    # refreshed only every --policy-refresh-every episodes.
+    cpu_state = None
+    t_env = t_act = t_train = t_xfer = 0.0
     for ep in range(args.episodes):
-        cpu_state = jax.device_put(state, cpu)
+        if (cpu_state is None
+                or ep % max(args.policy_refresh_every, 1) == 0):
+            t0 = time.time()
+            # np.asarray forces a synchronous device->host read per leaf
+            # (block_until_ready is unreliable through the relay, and a
+            # lazy device_put still references TPU buffers that the next
+            # donating trainer call invalidates)
+            cpu_state = jax.device_put(
+                jax.tree.map(lambda x: np.asarray(x), state), cpu)
+            t_xfer += time.time() - t0
         ts = env.reset()
         rows = {"observation": [flat_obs(ts)],
                 "action": [np.zeros(action_dim, np.float32)],
@@ -109,14 +136,17 @@ def main() -> None:
                 action = rng.uniform(act_spec.minimum, act_spec.maximum,
                                      act_spec.shape).astype(np.float32)
             else:
-                key, k_act = jax.random.split(key)
+                t0 = time.time()
+                key, k_act = jax.random.split(key)  # host-local (cpu key)
                 obs = jax.device_put(
-                    jnp.asarray(rows["observation"][-1])[None], cpu)
+                    rows["observation"][-1][None], cpu)
                 action = np.asarray(
                     act_fn(cpu_state, obs,
-                           jnp.asarray(global_step, jnp.int32),
-                           jax.device_put(k_act, cpu))[0], np.float32)
+                           np.int32(global_step), k_act)[0], np.float32)
+                t_act += time.time() - t0
+            t0 = time.time()
             ts = env.step(action)
+            t_env += time.time() - t0
             global_step += 1
             r = 0.0 if ts.reward is None else float(ts.reward)
             ep_reward += r
@@ -130,15 +160,20 @@ def main() -> None:
         buffer.add_episode(episode)
         # burst updates on the accelerator (1 update per 2 frames)
         if ep >= args.random_episodes - 1:
+            t0 = time.time()
             n_calls = max(args.updates_per_episode // 100, 1)
             for _ in range(n_calls):
                 key, k_up = jax.random.split(key)
-                state, metrics = trainer(state, buffer.state, k_up)
+                state, metrics = trainer(
+                    state, buffer.state,
+                    jax.device_put(k_up, jax.devices()[0]))
+            t_train += time.time() - t0
         if (ep + 1) % 10 == 0 or ep == 0:
             elapsed = time.time() - t_start
             print(f"ep {ep + 1}/{args.episodes} task_reward {ep_reward:.1f} "
-                  f"({elapsed:.0f}s, {(ep + 1) * T / elapsed:.0f} fps)",
-                  flush=True)
+                  f"({elapsed:.0f}s, {(ep + 1) * T / elapsed:.0f} fps; "
+                  f"env {t_env:.0f}s act {t_act:.0f}s train {t_train:.0f}s "
+                  f"xfer {t_xfer:.0f}s)", flush=True)
     print(f"done: {args.episodes} episodes -> {out_dir}")
 
 
