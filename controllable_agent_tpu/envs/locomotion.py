@@ -315,6 +315,31 @@ class LocomotionEnv(Environment):
     def _physics(self, state: LocoState) -> Array:
         return jnp.concatenate([state.q, state.qd])
 
+    def obs_from_physics(self, physics: Array) -> Array:
+        """Observation as a pure function of [q, qd], batched over leading
+        dims. Used to RECOMPUTE the observation column when ingesting
+        foreign-engine episodes (data/exorl.py physics adapters): stored
+        dm_control observations follow MuJoCo's hinge sign convention
+        (x->-z), this engine's is mirrored (x->z), so orientations/angular
+        rates in stored obs disagree with what this engine would emit on
+        the same states — recomputing from adapted physics keeps the
+        whole buffer in the native convention. Hopper obs includes touch
+        sensors which are not part of [q, qd]; they are approximated as 0
+        (document- and test-gated)."""
+        ndof = self.model.ndof
+
+        def single(p: Array) -> Array:
+            state = LocoState(q=p[:ndof], qd=p[ndof:],
+                              touch=jnp.zeros_like(self.model.contact_radius),
+                              t=jnp.zeros((), jnp.int32))
+            return self._obs(state)
+
+        if physics.ndim == 1:
+            return single(physics)
+        flat = physics.reshape(-1, physics.shape[-1])
+        out = jax.vmap(single)(flat)
+        return out.reshape(physics.shape[:-1] + (out.shape[-1],))
+
     def goal_features(self, physics: Array) -> Array:
         """Domain goal-feature extraction, batched over leading dims."""
         fn = {

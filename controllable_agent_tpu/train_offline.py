@@ -74,6 +74,19 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     if replay_dir is not None:
         episodes = load_exorl_episodes(Path(replay_dir),
                                        physics_format=physics_format)
+        if physics_format != "native":
+            # foreign-engine episodes: the stored observations follow the
+            # source engine's sign conventions; recompute them from the
+            # adapted physics so the whole buffer matches what the native
+            # engine emits on the same states (envs obs_from_physics)
+            import numpy as np
+            obs_fn = getattr(ws.env, "obs_from_physics", None)
+            assert obs_fn is not None, (
+                f"physics_format={physics_format} needs "
+                f"{type(ws.env).__name__}.obs_from_physics")
+            episodes = (
+                {**ep, "observation": np.asarray(obs_fn(ep["physics"]))}
+                for ep in episodes)
         if relabel:
             reward_fn = get_reward_function(ws.cfg.task, ws.cfg.seed)
             episodes = (

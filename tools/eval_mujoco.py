@@ -41,11 +41,14 @@ from tools.collect_mujoco_buffer import flat_obs
 
 
 def rollout_return(env: tp.Any, act: tp.Callable[[np.ndarray], np.ndarray],
-                   episode_length: int) -> float:
+                   episode_length: int,
+                   obs_fn: tp.Optional[tp.Callable[[tp.Any], np.ndarray]] = None
+                   ) -> float:
     ts = env.reset()
     total = 0.0
     for _ in range(episode_length):
-        action = act(flat_obs(ts))
+        obs = flat_obs(ts) if obs_fn is None else obs_fn(env)
+        action = act(obs)
         ts = env.step(action)
         total += 0.0 if ts.reward is None else float(ts.reward)
         if ts.last():
@@ -93,6 +96,15 @@ def main() -> None:
     episodes = load_exorl_episodes(Path(args.replay_dir),
                                    limit=args.buffer_episodes,
                                    physics_format=args.physics_format)
+    # same native-convention obs recompute as train_offline's ingestion
+    from controllable_agent_tpu.data.exorl import PHYSICS_ADAPTERS
+    adapter = PHYSICS_ADAPTERS[args.physics_format]
+    native_obs_fn = getattr(ws.env, "obs_from_physics", None)
+    if args.physics_format != "native":
+        assert native_obs_fn is not None
+        episodes = (
+            {**ep, "observation": np.asarray(native_obs_fn(ep["physics"]))}
+            for ep in episodes)
     if ws.goal_fn is not None:
         episodes = ({**ep, "goal": np.asarray(ws.goal_fn(ep["physics"]))}
                     for ep in episodes)
@@ -105,22 +117,34 @@ def main() -> None:
         st, obs, meta, jnp.asarray(0, jnp.int32), k, eval_mode=True))
 
     def make_act(state: tp.Any, meta: tp.Dict[str, tp.Any]) -> tp.Callable:
-        cpu_state = jax.device_put(state, cpu)
+        # everything the per-step act touches must be committed to the host
+        # CPU device; an uncommitted jnp.asarray lands on the TPU and each
+        # touch is a relay round-trip (see tools/collect_mujoco_buffer.py)
+        cpu_state = jax.device_put(
+            jax.tree.map(lambda x: np.asarray(x), state), cpu)
         cpu_meta = jax.device_put(
-            {k: jnp.asarray(v)[None] for k, v in meta.items()}, cpu)
-        key = jax.random.PRNGKey(args.seed)
+            {k: np.asarray(v)[None] for k, v in meta.items()}, cpu)
+        key = jax.device_put(jax.random.PRNGKey(args.seed), cpu)
 
         def act(obs: np.ndarray) -> np.ndarray:
             nonlocal key
-            key, k = jax.random.split(key)
-            a = act_jit(cpu_state, jax.device_put(jnp.asarray(obs)[None], cpu),
-                        cpu_meta, jax.device_put(k, cpu))
+            key, k = jax.random.split(key)  # host-local (cpu key)
+            a = act_jit(cpu_state, jax.device_put(obs[None], cpu),
+                        cpu_meta, k)
             return np.asarray(a[0], np.float32)
         return act
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
     tasks = args.tasks.split(",")
+
+    # the policy was trained on native-convention observations; feed it
+    # the adapted dm_control state each step, not dm_control's raw obs
+    obs_fn = None
+    if args.physics_format != "native":
+        def obs_fn(e: tp.Any) -> np.ndarray:
+            phys = adapter(bridge.mj_state(e)[None].astype(np.float32))
+            return np.asarray(native_obs_fn(phys[0]))
 
     results: tp.Dict[str, tp.List[float]] = {}
     for task in tasks:
@@ -129,7 +153,7 @@ def main() -> None:
         meta = {agent.meta_key: z}
         env = bridge.make_env(task, seed=args.seed)
         act = make_act(ws.agent_state, meta)
-        returns = [rollout_return(env, act, args.episode_length)
+        returns = [rollout_return(env, act, args.episode_length, obs_fn)
                    for _ in range(args.episodes)]
         results[task] = returns
         print(f"{task}: mean {np.mean(returns):.1f} "
@@ -152,7 +176,7 @@ def main() -> None:
                     if snap.name.startswith("snapshot") else final_step)
             z = ws._infer_meta_from_replay(reward_fn)
             act = make_act(ws.agent_state, {agent.meta_key: z})
-            returns = [rollout_return(env, act, args.episode_length)
+            returns = [rollout_return(env, act, args.episode_length, obs_fn)
                        for _ in range(args.episodes)]
             rows.append({"step": step,
                          "episode_reward": float(np.mean(returns)),
