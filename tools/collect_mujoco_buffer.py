@@ -52,6 +52,16 @@ def main() -> None:
                    help="episodes between TPU->host policy snapshots (the "
                         "full train state is ~100 MB through the relay; "
                         "a slightly stale exploration policy is free)")
+    p.add_argument("--load-dir", default=None,
+                   help="preload existing ExORL episodes into the replay "
+                        "buffer and warm up the explorer on them before "
+                        "collecting (continue a previous collection run)")
+    p.add_argument("--warmup-updates", type=int, default=0,
+                   help="gradient updates on the preloaded buffer before "
+                        "the first new episode")
+    p.add_argument("--start-ep", type=int, default=0,
+                   help="episode-file numbering offset (append to an "
+                        "existing directory)")
     args = p.parse_args()
 
     import jax
@@ -87,13 +97,29 @@ def main() -> None:
     with jax.default_device(cpu0):
         state = agent.init(k_init)
     state = jax.device_put(state, jax.devices()[0])
-    buffer = ReplayBuffer(max_episodes=args.episodes, discount=0.99,
-                          future=0.99, max_episode_length=T)
+    buffer = ReplayBuffer(
+        max_episodes=args.episodes + (0 if args.load_dir is None else 1000),
+        discount=0.99, future=0.99, max_episode_length=T)
     nstep = int(getattr(cfg, "nstep", 1) or 1)
     if nstep > 1:  # ExORL exploration agents train on n-step returns
         buffer.cfg = buffer.cfg.replace(nstep=nstep)
     trainer = make_offline_trainer(agent, buffer.cfg, args.batch_size,
                                    steps_per_call=100)
+
+    if args.load_dir is not None:
+        from controllable_agent_tpu.data.exorl import load_exorl_episodes
+        n_loaded = 0
+        for epi in load_exorl_episodes(Path(args.load_dir)):
+            buffer.add_episode(epi)
+            n_loaded += 1
+        print(f"preloaded {n_loaded} episodes from {args.load_dir}",
+              flush=True)
+    if args.warmup_updates > 0:
+        for _ in range(max(args.warmup_updates // 100, 1)):
+            key, k_up = jax.random.split(key)
+            state, _ = trainer(state, buffer.state,
+                               jax.device_put(k_up, jax.devices()[0]))
+        print(f"warmed up {args.warmup_updates} updates", flush=True)
 
     cpu = jax.devices("cpu")[0]
     act_fn = jax.jit(
@@ -156,7 +182,8 @@ def main() -> None:
             rows["discount"].append(np.ones(1, np.float32))
             rows["physics"].append(bridge.mj_state(env).astype(np.float32))
         episode = {k: np.stack(v) for k, v in rows.items()}
-        np.savez(out_dir / f"episode_{ep:06d}_{T}.npz", **episode)
+        np.savez(out_dir / f"episode_{args.start_ep + ep:06d}_{T}.npz",
+                 **episode)
         buffer.add_episode(episode)
         # burst updates on the accelerator (1 update per 2 frames)
         if ep >= args.random_episodes - 1:
