@@ -288,8 +288,20 @@ class DDPGAgent:
 
     # -- the fused update step -------------------------------------------
     def _update(self, state: DDPGTrainState, batch: EpisodeBatch,
-                key: jax.Array) -> tp.Tuple[DDPGTrainState, tp.Dict[str, Array]]:
+                key: jax.Array, use_reward_model: tp.Optional[bool] = None
+                ) -> tp.Tuple[DDPGTrainState, tp.Dict[str, Array]]:
+        """One gradient step (reference ddpg.py:370-403).
+
+        ``use_reward_model``: substitute reward_model(next_obs) for the
+        batch reward. Defaults to ``cfg.reward_free`` — the plain-DDPG
+        reward-free protocol (reference ddpg.py:379-382). Intrinsic agents
+        (RND/ICM/... , which in the reference OVERRIDE update() and feed
+        their own reward straight to update_critic, rnd.py:127-187) must
+        pass False: their batch already carries the intrinsic reward.
+        """
         cfg = self.cfg
+        if use_reward_model is None:
+            use_reward_model = cfg.reward_free
         k_critic, k_actor, k_aug1, k_aug2 = jax.random.split(key, 4)
         encoder_opt_state = state.encoder_opt_state
 
@@ -308,7 +320,7 @@ class DDPGAgent:
                 self._encode(state.encoder_params, next_aug), batch.meta))
 
             reward = batch.reward
-            if cfg.reward_free:
+            if use_reward_model:
                 reward = jax.lax.stop_gradient(
                     self.reward_model.apply(state.reward_params, next_obs))
 
@@ -340,7 +352,7 @@ class DDPGAgent:
             obs = self._with_meta(batch.obs, batch.meta)
             next_obs = self._with_meta(batch.next_obs, batch.meta)
             reward = batch.reward
-            if cfg.reward_free:
+            if use_reward_model:
                 reward = self.reward_model.apply(state.reward_params, next_obs)
                 reward = jax.lax.stop_gradient(reward)
 

@@ -175,8 +175,12 @@ class IntrinsicDDPGAgent:
             reward = jax.lax.stop_gradient(reward)
             metrics["intr_reward"] = reward.mean()
 
+        # use_reward_model=False: the batch reward IS the intrinsic reward
+        # (the reference's intrinsic agents bypass DDPG's reward-free
+        # reward-model substitution by overriding update(), rnd.py:127-187)
         ddpg_state, ddpg_metrics = self.ddpg._update(
-            state.ddpg, batch.replace(reward=reward), k_ddpg)
+            state.ddpg, batch.replace(reward=reward), k_ddpg,
+            use_reward_model=False)
         metrics.update(ddpg_metrics)
         return state.replace(ddpg=ddpg_state, rms=rms), metrics
 

@@ -186,7 +186,7 @@ class ProtoAgent(IntrinsicDDPGAgent):
 
         ddpg_state, ddpg_metrics = self.ddpg._update(
             state.ddpg, batch.replace(reward=jax.lax.stop_gradient(reward)),
-            k_ddpg)
+            k_ddpg, use_reward_model=False)
         metrics.update(ddpg_metrics)
         return state.replace(
             ddpg=ddpg_state,

@@ -52,6 +52,12 @@ def test_intrinsic_agents_update(agent_cls, cfg_cls, extra) -> None:
     # intrinsic reward drives the critic, not the stored extrinsic reward
     assert float(metrics["batch_reward"]) != pytest.approx(
         float(np.asarray(_batch().reward).mean()), abs=1e-6)
+    # ... and not the (untrained) reward model: the reward the critic saw
+    # must BE the intrinsic reward (regression: before round 4, reward_free
+    # routed intrinsic agents through DDPG's reward-model substitution, so
+    # the explorer optimized a frozen random function instead of novelty)
+    assert float(metrics["batch_reward"]) == pytest.approx(
+        float(metrics["intr_reward"]), rel=1e-5)
 
 
 def test_icm_apt_identity_rep() -> None:

@@ -46,15 +46,18 @@ def main() -> None:
     state = agent.init(jax.random.key(0))
     key = jax.random.key(1)
 
-    lowered = trainer.lower(state, buf.state, key)
-    compiled = lowered.compile()
+    # one AOT compile used for BOTH cost analysis and the timed loop (the
+    # plain trainer(...) path would compile a second, separate executable)
+    compiled = trainer.lower(state, buf.state, key).compile()
     cost = compiled.cost_analysis()
     if isinstance(cost, list):  # older jax returns [dict]
-        cost = cost[0]
+        cost = cost[0] if cost else None
+    if cost is None:  # some backends/versions return nothing
+        cost = {}
     flops_call = float(cost.get("flops", float("nan")))
     bytes_call = float(cost.get("bytes accessed", float("nan")))
 
-    state, metrics = trainer(state, buf.state, key)
+    state, metrics = compiled(state, buf.state, key)
     float(metrics["fb_loss"])  # force through the relay
 
     n_calls = 20
@@ -63,7 +66,7 @@ def main() -> None:
         t0 = time.perf_counter()
         for _ in range(n_calls):
             key, sub = jax.random.split(key)
-            state, metrics = trainer(state, buf.state, sub)
+            state, metrics = compiled(state, buf.state, sub)
         float(metrics["fb_loss"])
         best_dt = min(best_dt, time.perf_counter() - t0)
 

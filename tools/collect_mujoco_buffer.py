@@ -97,8 +97,12 @@ def main() -> None:
     with jax.default_device(cpu0):
         state = agent.init(k_init)
     state = jax.device_put(state, jax.devices()[0])
+    # size the ring from the ACTUAL preload count: a fixed headroom would
+    # silently evict the oldest preloaded episodes once it overflowed
+    n_preload = (len(list(Path(args.load_dir).glob("*.npz")))
+                 if args.load_dir is not None else 0)
     buffer = ReplayBuffer(
-        max_episodes=args.episodes + (0 if args.load_dir is None else 1000),
+        max_episodes=args.episodes + n_preload,
         discount=0.99, future=0.99, max_episode_length=T)
     nstep = int(getattr(cfg, "nstep", 1) or 1)
     if nstep > 1:  # ExORL exploration agents train on n-step returns
@@ -115,6 +119,9 @@ def main() -> None:
         print(f"preloaded {n_loaded} episodes from {args.load_dir}",
               flush=True)
     if args.warmup_updates > 0:
+        if n_preload == 0:
+            raise SystemExit("--warmup-updates needs a non-empty --load-dir "
+                             "(updates against an empty buffer sample garbage)")
         for _ in range(max(args.warmup_updates // 100, 1)):
             key, k_up = jax.random.split(key)
             state, _ = trainer(state, buffer.state,
