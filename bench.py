@@ -51,11 +51,15 @@ def main() -> None:
         })
 
     import os
-    steps_per_call = int(os.environ.get("BENCH_STEPS_PER_CALL", "50"))
+    # 200 updates per device call amortizes the relay dispatch gap
+    # (~25 us/update at 50); rbg keys avoid threefry's compute cost — the
+    # PRNG impl travels with the key, so the whole scanned program
+    # inherits it (both worth ~+8% together, ROOFLINE.md)
+    steps_per_call = int(os.environ.get("BENCH_STEPS_PER_CALL", "200"))
     trainer = make_offline_trainer(agent, buf.cfg, cfg.batch_size,
                                    steps_per_call)
-    state = agent.init(jax.random.key(0))
-    key = jax.random.key(1)
+    state = agent.init(jax.random.key(0, impl="rbg"))
+    key = jax.random.key(1, impl="rbg")
 
     # warmup / compile; the float() forces a real device->host transfer
     # (block_until_ready alone is unreliable through the remote relay)

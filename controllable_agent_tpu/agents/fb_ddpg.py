@@ -88,10 +88,14 @@ class FBDDPGConfig:
     # fb_ddpg.py:44 additional_metric, computed in eval pretrain.py:404-413)
     additional_metric: bool = False
     compute_dtype: str = "float32"  # "bfloat16" runs net matmuls on the MXU in bf16
+    adam_mu_dtype: str = "bfloat16"  # Adam first-moment dtype ("float32" to disable)
     # Pallas fused loss: tiles the batchxbatch measure matrices through
     # VMEM instead of materializing them in HBM (ops/pallas_fb.py).
-    # Worthwhile at batch >= 2048; metrics that need the full M matrix
-    # (target_M mean, orth_linf/orth_l2) are skipped in this mode.
+    # DEMOTED after the round-4 roofline study (ROOFLINE.md): at the
+    # production geometry (batch 1024) it is ~11% SLOWER than the XLA
+    # path; kept as a tested alternative for batch >= 2048 experiments.
+    # Metrics that need the full M matrix (target_M mean,
+    # orth_linf/orth_l2) are skipped in this mode.
     use_pallas_loss: bool = False
 
 
@@ -137,9 +141,13 @@ class FBDDPGAgent(ZMetaMixin):
                 z_dim=cfg.z_dim, hidden_dim=cfg.backward_hidden_dim,
                 norm_z=cfg.norm_z, dtype=dtype)
 
-        self.actor_opt = optax.adam(cfg.lr)
-        self.fw_opt = optax.adam(cfg.lr)
-        self.bw_opt = optax.adam(cfg.lr_coef * cfg.lr)
+        # bf16 first moment: the update is HBM-bandwidth-bound (see
+        # ROOFLINE.md) and Adam state traffic is ~30% of it; momentum
+        # tolerates bf16 (second moment + params stay f32)
+        mu_dt = jnp.bfloat16 if cfg.adam_mu_dtype == "bfloat16" else None
+        self.actor_opt = optax.adam(cfg.lr, mu_dtype=mu_dt)
+        self.fw_opt = optax.adam(cfg.lr, mu_dtype=mu_dt)
+        self.bw_opt = optax.adam(cfg.lr_coef * cfg.lr, mu_dtype=mu_dt)
         self._stddev = schedule(cfg.stddev_schedule)
 
         # jitted entry points

@@ -100,43 +100,56 @@ def _hip() -> tp.Any:
         return None
 
 
+def _column_kind(col: str) -> str:
+    """Classify a column of THIS repo's hip.log schema (train/logger.py
+    JsonlLogger rows: ``train_*``/``eval_*`` metric columns, ``eval_phys_*``
+    physics aggregates, ``#``-prefixed bookkeeping, everything else config).
+
+      headline  — the numbers a sweep is read by (returns, fps, steps)
+      metric    — other per-update losses/diagnostics (noisy; hidden in
+                  the parallel plot, badge-styled in the table)
+      internal  — bookkeeping (#now/#reloads, uid/from_uid, workdir)
+      config    — flattened run config (kept visible: these are the axes
+                  a hiplot sweep pivots on)
+    """
+    if col in ("uid", "from_uid", "workdir") or col.startswith("#"):
+        return "internal"
+    if not col.startswith(("train_", "eval_")):
+        return "config"
+    stem = col.split("_", 1)[1]
+    if stem in ("episode_reward", "episode", "step", "fps"):
+        return "headline"
+    return "metric"
+
+
 def _set_style(exp: tp.Any) -> None:
-    """Reference styling (_set_style, hiplogs.py:53-93): hide the noisy
-    train/eval series except episode/loss/reward, badge-color the rest.
+    """Serves the reference _set_style's purpose (hiplogs.py:53-93) for
+    this repo's column schema: noisy per-update metric series are hidden
+    from the parallel plot, the XY view opens on the eval return curve,
+    and table badges separate headline / metric / bookkeeping columns.
     No-op on the structural stand-in."""
     hip = _hip()
     if hip is None or not isinstance(exp, hip.Experiment):
         return
-    cols = set(x for dp in exp.datapoints for x in dp.values.keys())
-    internals = ["workdir", "#now", "train/episode", "eval/episode",
-                 "#time", "#reloaded", "#job_id"]
-    hidden = [x for x in cols if x.startswith(("eval/", "train/"))]
-    hidden = [x for x in hidden
-              if not any(y in x for y in ("episode", "loss"))]
-    exp.display_data(hip.Displays.PARALLEL_PLOT).update(
-        {"hide": ["uid", "from_uid"] + hidden})
-    exp.display_data(hip.Displays.XY).update(
-        {"lines_thickness": 1.4, "lines_opacity": 0.9,
-         "axis_x": "eval/episode", "axis_y": "eval/episode_reward"})
-    badge = {
-        "metrics": "badge badge-pill badge-primary",
+    cols = sorted({x for dp in exp.datapoints for x in dp.values.keys()}
+                  | {"uid", "from_uid"})
+    kinds = {col: _column_kind(col) for col in cols}
+    exp.display_data(hip.Displays.PARALLEL_PLOT).update({
+        "hide": [c for c, k in kinds.items() if k in ("metric", "internal")],
+    })
+    exp.display_data(hip.Displays.XY).update({
+        "axis_x": "eval_step" if "eval_step" in kinds else "train_step",
+        "axis_y": "eval_episode_reward",
+    })
+    badge_css = {
+        "headline": "badge badge-pill badge-danger",
+        "metric": "badge badge-pill badge-primary",
         "internal": "badge badge-pill badge-secondary",
-        "other": "badge badge-pill badge-danger",
     }
-    styles: tp.Dict[str, str] = {}
-    styles.update({name: badge["metrics"] for name in cols
-                   if name.startswith(("eval/", "train/"))
-                   and not any(y in name
-                               for y in ("/episode", "episode_reward"))})
-    styles.update({name: badge["other"]
-                   for name in ("eval/episode_reward",
-                                "train/episode_reward")})
-    styles.update({name: badge["internal"] for name in internals})
-    styles["experiment"] = badge["other"]
-    for col in cols:
-        for start, style in styles.items():
-            if col.startswith(start):
-                exp.parameters_definition[col].label_css = style
+    for col, kind in kinds.items():
+        css = badge_css.get(kind)
+        if css is not None:
+            exp.parameters_definition[col].label_css = css
 
 
 # ------------------------------------------------------------- reader

@@ -30,7 +30,7 @@ from ..envs.base import Environment
 from ..envs.gridworld import build_gridworld_task
 from ..envs.pointmass import PointMassMaze, TASKS as _PMM_TASKS
 from ..goals import get_goal_space_dim, get_reward_function, goal_spaces, goals
-from ..utils import KeyChain, Timer
+from ..utils import KeyChain, Stopwatch, crossed
 from . import checkpoint as ckpt_lib
 from .logger import Logger
 from .loops import OnlineTrainer, make_offline_trainer
@@ -200,7 +200,7 @@ class Workspace:
                              wandb_config=dataclasses.asdict(cfg))
         self._video_recorder: tp.Optional[tp.Any] = None
         self._profiled = False
-        self.timer = Timer()
+        self.timer = Stopwatch()
         self.global_step = 0
         self.global_episode = 0
         self._eval_fn: tp.Optional[tp.Callable] = None
@@ -558,7 +558,7 @@ class OfflineWorkspace(Workspace):
             if steps_since_log >= log_every:
                 # metrics stay on device between logs so launches pipeline;
                 # float() here is the only host sync
-                elapsed, total = self.timer.reset()
+                elapsed, total = self.timer.lap()
                 with self.logger.log_and_dump_ctx(self.global_step,
                                                   "train") as log:
                     log("fps", steps_since_log / max(elapsed, 1e-9))
@@ -567,12 +567,14 @@ class OfflineWorkspace(Workspace):
                     for k, v in metrics.items():
                         log(k, float(v))
                 steps_since_log = 0
-            if self.global_step % cfg.eval_every_steps < cfg.steps_per_call:
+            if crossed(self.global_step, cfg.eval_every_steps,
+                       cfg.steps_per_call):
                 self.evaluate()
-            if self.global_step % cfg.checkpoint_every < cfg.steps_per_call:
+            if crossed(self.global_step, cfg.checkpoint_every,
+                       cfg.steps_per_call):
                 self.save_checkpoint()
         if steps_since_log:
-            elapsed, total = self.timer.reset()
+            elapsed, total = self.timer.lap()
             with self.logger.log_and_dump_ctx(self.global_step, "train") as log:
                 log("fps", steps_since_log / max(elapsed, 1e-9))
                 log("total_time", total)
@@ -610,7 +612,7 @@ class OnlineWorkspace(Workspace):
             prev_step, self.global_step = self.global_step, trainer.global_step
             self.global_episode = trainer.global_episode
             self._maybe_snapshot(prev_step)
-            elapsed, total = self.timer.reset()
+            elapsed, total = self.timer.lap()
             with self.logger.log_and_dump_ctx(self.global_step, "train") as log:
                 log("fps", steps_per_cycle / max(elapsed, 1e-9))
                 log("total_time", total)
@@ -619,9 +621,11 @@ class OnlineWorkspace(Workspace):
                 log("buffer_size", len(self.buffer))
                 for k, v in metrics.items():
                     log(k, float(v))
-            if self.global_step % cfg.eval_every_steps < steps_per_cycle:
+            if crossed(self.global_step, cfg.eval_every_steps,
+                       steps_per_cycle):
                 self.evaluate()
-            if self.global_step % cfg.checkpoint_every < steps_per_cycle:
+            if crossed(self.global_step, cfg.checkpoint_every,
+                       steps_per_cycle):
                 self.save_checkpoint()
         self.save_checkpoint()
         self.finalize()
@@ -664,7 +668,7 @@ class TrainOnlineWorkspace(Workspace):
                 self.agent_state, m = trainer(
                     self.agent_state, self.buffer.state, self.keys.next())
                 metrics.update({k: float(v) for k, v in m.items()})
-            elapsed, total = self.timer.reset()
+            elapsed, total = self.timer.lap()
             with self.logger.log_and_dump_ctx(self.global_step, "train") as log:
                 log("fps", steps_per_cycle / max(elapsed, 1e-9))
                 log("total_time", total)
@@ -672,9 +676,11 @@ class TrainOnlineWorkspace(Workspace):
                 log("episode", self.global_episode)
                 for k, v in metrics.items():
                     log(k, float(v))
-            if self.global_step % cfg.eval_every_steps < steps_per_cycle:
+            if crossed(self.global_step, cfg.eval_every_steps,
+                       steps_per_cycle):
                 self.evaluate()
-            if self.global_step % cfg.checkpoint_every < steps_per_cycle:
+            if crossed(self.global_step, cfg.checkpoint_every,
+                       steps_per_cycle):
                 self.save_checkpoint()
         self.save_checkpoint()
         self.finalize()

@@ -1,7 +1,14 @@
-"""Step predicates and a wall-clock timer.
+"""Host-side loop cadence helpers.
 
-Mirrors the reference's Until/Every/Timer helpers (url_benchmark/utils.py:117-161).
-These are host-side loop controls — they never appear inside jit.
+The reference drives its training loop one env-step at a time and gates
+work with step-predicate objects (url_benchmark/utils.py:117-144). The
+loops here advance in *strides* (a fused device call covers
+``steps_per_call`` updates, a vectorized cycle covers
+``num_envs * steps_per_env`` frames), so the natural cadence primitive
+asks whether the last stride crossed a multiple of the cadence, and the
+frame budget is a plain count of frames still owed.
+
+These run on the host between device calls — never inside jit.
 """
 
 from __future__ import annotations
@@ -10,49 +17,55 @@ import time
 import typing as tp
 
 
-def _repr(obj: tp.Any) -> str:
-    items = {x: y for x, y in obj.__dict__.items() if not x.startswith("_")}
-    params = ", ".join(f"{x}={y!r}" for x, y in sorted(items.items()))
-    return f"{obj.__class__.__name__}({params})"
+def crossed(step: int, every: tp.Optional[int], stride: int = 1) -> bool:
+    """Did the window ``(step - stride, step]`` cross a multiple of ``every``?
+
+    With ``stride == 1`` this is the reference's ``Every`` predicate
+    (``step % every == 0``); with a coarser stride it fires exactly once
+    per cadence mark no matter how many frames one loop iteration covers.
+    ``every=None`` (or 0) disables the cadence.
+    """
+    if not every:
+        return False
+    return step % every < stride
 
 
-class Until:
-    def __init__(self, until: tp.Optional[int], action_repeat: int = 1) -> None:
-        self.until = until
-        self.action_repeat = action_repeat
+def frames_remaining(step: int, budget: tp.Optional[int],
+                     action_repeat: int = 1) -> int:
+    """Agent-steps still owed under a raw-frame budget.
 
-    def __call__(self, step: int) -> bool:
-        if self.until is None:
-            return True
-        return step < self.until // self.action_repeat
-
-    def __repr__(self) -> str:
-        return _repr(self)
-
-
-class Every:
-    def __init__(self, every: tp.Optional[int], action_repeat: int = 1) -> None:
-        self.every = every
-        self.action_repeat = action_repeat
-
-    def __call__(self, step: int) -> bool:
-        if self.every is None:
-            return False
-        return step % (self.every // self.action_repeat) == 0
-
-    def __repr__(self) -> str:
-        return _repr(self)
+    ``budget=None`` means unbounded (a large sentinel is returned so
+    ``while frames_remaining(...) > 0`` keeps looping — the reference's
+    ``Until(None)``). ``action_repeat`` converts the raw-frame budget into
+    agent steps, matching the reference's bookkeeping.
+    """
+    if budget is None:
+        return 1 << 62
+    return budget // action_repeat - step
 
 
-class Timer:
+class Stopwatch:
+    """Lap + total wall-clock timer for fps accounting.
+
+    ``lap()`` returns (seconds since the previous lap, seconds since
+    construction). Uses a monotonic clock — log timestamps must not jump
+    with NTP adjustments mid-run.
+    """
+
     def __init__(self) -> None:
-        self._start_time = time.time()
-        self._last_time = time.time()
+        now = time.perf_counter()
+        self._t0 = now
+        self._lap = now
 
-    def reset(self) -> tp.Tuple[float, float]:
-        elapsed = time.time() - self._last_time
-        self._last_time = time.time()
-        return elapsed, time.time() - self._start_time
+    def lap(self) -> tp.Tuple[float, float]:
+        now = time.perf_counter()
+        out = (now - self._lap, now - self._t0)
+        self._lap = now
+        return out
 
-    def total_time(self) -> float:
-        return time.time() - self._start_time
+    @property
+    def total(self) -> float:
+        return time.perf_counter() - self._t0
+
+    def __repr__(self) -> str:
+        return f"Stopwatch(total={self.total:.3f}s)"

@@ -4,11 +4,12 @@ import numpy as np
 import pytest
 
 from controllable_agent_tpu.utils import (
-    Every,
     KeyChain,
     SquashedNormal,
+    Stopwatch,
     TruncatedNormal,
-    Until,
+    crossed,
+    frames_remaining,
     schedule,
     soft_update,
 )
@@ -46,11 +47,21 @@ def test_schedule_unknown() -> None:
         schedule("exp(1,2)")
 
 
-def test_until_every() -> None:
-    assert Until(10)(9) and not Until(10)(10)
-    assert Until(None)(10**9)
-    assert Every(5)(0) and Every(5)(5) and not Every(5)(3)
-    assert not Every(None)(0)
+def test_cadence_helpers() -> None:
+    # budget: positive while frames remain, action_repeat rescales
+    assert frames_remaining(9, 10) > 0 and frames_remaining(10, 10) <= 0
+    assert frames_remaining(10**9, None) > 0
+    assert frames_remaining(4, 20, action_repeat=2) > 0
+    assert frames_remaining(10, 20, action_repeat=2) <= 0
+    # cadence: stride-1 == the reference Every; wider strides fire once
+    # per crossing no matter the stride
+    assert crossed(0, 5) and crossed(5, 5) and not crossed(3, 5)
+    assert not crossed(0, None)
+    assert crossed(200, 100, stride=40)   # window (160, 200] crosses 200
+    assert not crossed(180, 100, stride=40)  # window (140, 180] crosses nothing
+    sw = Stopwatch()
+    lap, total = sw.lap()
+    assert 0 <= lap <= total <= sw.total + 1e-9
 
 
 def test_truncated_normal_clamp_and_clip() -> None:
