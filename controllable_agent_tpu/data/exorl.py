@@ -87,6 +87,65 @@ PHYSICS_ADAPTERS: tp.Dict[str, tp.Optional[tp.Callable[[np.ndarray], np.ndarray]
 }
 
 
+def _quat_rot(quat: np.ndarray) -> np.ndarray:
+    """Rotation matrices [..., 3, 3] from MuJoCo wxyz quaternions."""
+    q = quat / np.maximum(
+        np.linalg.norm(quat, axis=-1, keepdims=True), 1e-12)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    rot = np.empty(q.shape[:-1] + (3, 3), q.dtype)
+    rot[..., 0, 0] = 1 - 2 * (y * y + z * z)
+    rot[..., 0, 1] = 2 * (x * y - w * z)
+    rot[..., 0, 2] = 2 * (x * z + w * y)
+    rot[..., 1, 0] = 2 * (x * y + w * z)
+    rot[..., 1, 1] = 1 - 2 * (x * x + z * z)
+    rot[..., 1, 2] = 2 * (y * z - w * x)
+    rot[..., 2, 0] = 2 * (x * z - w * y)
+    rot[..., 2, 1] = 2 * (y * z + w * x)
+    rot[..., 2, 2] = 1 - 2 * (x * x + y * y)
+    return rot
+
+
+def mujoco_quadruped_features(physics: np.ndarray,
+                              nq: int = 23) -> np.ndarray:
+    """dm_control quadruped MuJoCo states -> native goal-FEATURE rows.
+
+    The dm_control quadruped (reference custom_dmc_tasks/quadruped.xml:
+    4 legs x yaw/pitch/knee/ankle/2 toes, nq=23/nv=22 with a free root)
+    is a different morphology from the native 8-joint model, so there is
+    no state-level adapter; every reference quadruped goal space and
+    task reward is a function of TORSO-level reads only (goals.py:97-112,
+    custom_dmc_tasks/quadruped.py:352-536), which map exactly:
+
+      up       = R[2,2] of the root quaternion  (= xmat['torso','zz'])
+      x, y, z  = qpos[0:3]                      (= xpos['torso'])
+      vx,vy,vz = R^T qvel[0:3]                  (= the torso velocimeter,
+                  body-frame; MuJoCo free-joint linear qvel is world-frame)
+
+    Output layout matches ``envs/quadruped.quad_features_single``:
+    [up, 0, x, y, z, vx, vy, vz]. The Jump reward's height read is the
+    ONE approximation: the reference uses the whole-robot COM height
+    (com_height sensor) where the native layout carries the root z;
+    PARITY.md quantifies the difference.
+    """
+    qpos = physics[..., :nq]
+    qvel = physics[..., nq:]
+    rot = _quat_rot(qpos[..., 3:7])
+    up = rot[..., 2, 2]
+    v_body = np.einsum("...ij,...i->...j", rot, qvel[..., 0:3])
+    zero = np.zeros_like(up)
+    return np.stack([up, zero,
+                     qpos[..., 0], qpos[..., 1], qpos[..., 2],
+                     v_body[..., 0], v_body[..., 1], v_body[..., 2]],
+                    axis=-1).astype(np.float32)
+
+
+# foreign-state -> native goal-feature adapters, for domains whose
+# morphologies differ (no state-level adapter possible)
+FEATURE_ADAPTERS: tp.Dict[str, tp.Callable[[np.ndarray], np.ndarray]] = {
+    "mujoco_quadruped": mujoco_quadruped_features,
+}
+
+
 def load_exorl_episodes(replay_dir: Path,
                         limit: tp.Optional[int] = None,
                         shard: int = 0, num_shards: int = 1,

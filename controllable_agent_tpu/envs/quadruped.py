@@ -155,12 +155,22 @@ class QuadState(struct.PyTreeNode):
 
 
 def quad_features_single(model: p3d.Model3D, physics: Array) -> Array:
-    """[up, 0, x, y, z, vx, vy, vz] (goals/spaces.py quadruped layout)."""
+    """[up, 0, x, y, z, vx, vy, vz] (goals/spaces.py quadruped layout).
+
+    up is the torso z-axis / world z-axis dot product (the reference's
+    ``torso_upright``, custom_dmc_tasks/quadruped.py:222-224); x/y/z the
+    torso root position; vx/vy/vz the torso linear velocity in the BODY
+    frame — the reference's ``torso_velocity`` is the torso-site
+    velocimeter read (quadruped.py:226-228), so the Move rewards' v[0] is
+    body-forward speed, not world-x speed. Cross-engine agreement of
+    every entry is checked on shared MuJoCo states in
+    tests/test_mujoco_parity.py."""
     ndof = model.ndof
     q, qd = physics[:ndof], physics[ndof:2 * ndof]
     rot = p3d._euler_rot(q[3:6])
     up = rot[2, 2]
-    return jnp.concatenate([jnp.stack([up, jnp.zeros(())]), q[0:3], qd[0:3]])
+    v_body = rot.T @ qd[0:3]
+    return jnp.concatenate([jnp.stack([up, jnp.zeros(())]), q[0:3], v_body])
 
 
 class QuadrupedEnv(Environment):
@@ -198,7 +208,15 @@ class QuadrupedEnv(Environment):
 
     # -- rewards ------------------------------------------------------------
     def reward_from_physics(self, physics: Array) -> Array:
-        feats = quad_features_single(self.model, physics)
+        return self.reward_from_features(
+            quad_features_single(self.model, physics))
+
+    def reward_from_features(self, feats: Array) -> Array:
+        """Task reward as a pure function of the goal-feature vector —
+        also the relabel path for FOREIGN (real dm_control) quadruped
+        states, whose 56-dim MuJoCo layout cannot map onto this reduced
+        8-joint morphology state-for-state but shares the torso-level
+        features (data/exorl.py mujoco_quadruped_features)."""
         up = feats[0]
         v = feats[5:8]
         z = feats[4]

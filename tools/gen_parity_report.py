@@ -117,9 +117,67 @@ def reward_rows() -> list:
     return rows
 
 
+QUAD_FEAT_NAMES = ["up", "x", "y", "z", "vx", "vy", "vz"]
+QUAD_FEAT_COLS = [0, 2, 3, 4, 5, 6, 7]
+QUAD_REWARD_TASKS = ["stand", "walk", "run", "jump", "roll", "roll_fast"]
+
+
+def quadruped_feature_rows() -> list:
+    """Feature-level parity for the quadruped: the morphologies differ
+    (dm_control 12-actuator/23-qpos vs native 8-joint), so the adapter
+    (data/exorl.py mujoco_quadruped_features) maps states to the shared
+    TORSO-level feature layout instead of state-to-state."""
+    from controllable_agent_tpu.data.exorl import mujoco_quadruped_features
+    env = bridge.make_env("quadruped_walk", seed=12)
+    roll = bridge.collect_rollout(env, N_FEATURE_STEPS, seed=0,
+                                  feature_fn=bridge.quadruped_features)
+    ours = mujoco_quadruped_features(roll["physics"])
+    ref = roll["features"]
+    rows = []
+    for name, col in zip(QUAD_FEAT_NAMES, QUAD_FEAT_COLS):
+        err = np.abs(ours[:, col] - ref[:, col])
+        corr = (np.corrcoef(ours[:, col], ref[:, col])[0, 1]
+                if ref[:, col].std() > 1e-9 else float("nan"))
+        rows.append(("quadruped", name, err.mean(), err.max(),
+                     float(ref[:, col].std()), corr, 0.0))
+    # the jump height read: native carries root z, reference uses COM z
+    err = np.abs(ours[:, 4] - ref[:, 1])
+    corr = np.corrcoef(ours[:, 4], ref[:, 1])[0, 1]
+    rows.append(("quadruped", "com_z (vs root z)", err.mean(), err.max(),
+                 float(ref[:, 1].std()), corr, 0.0))
+    return rows
+
+
+def quadruped_reward_rows() -> list:
+    import jax
+    from controllable_agent_tpu.data.exorl import mujoco_quadruped_features
+    from controllable_agent_tpu.envs.quadruped import QuadrupedEnv
+    src = bridge.make_env("quadruped_run", seed=3)
+    roll = bridge.collect_rollout(src, N_REWARD_STEPS, seed=1)
+    states = roll["physics"]
+    rng = np.random.RandomState(9)
+    fast = states.copy()
+    fast[:, 23:26] += rng.uniform(-6, 6, (len(fast), 3))
+    states = np.concatenate([states, fast])
+    feats = mujoco_quadruped_features(states).astype(np.float32)
+    rows = []
+    for task in QUAD_REWARD_TASKS:
+        env = bridge.make_env(f"quadruped_{task}", seed=3)
+        ref_r = np.array([bridge.reward_from_state(env, s) for s in states])
+        native = QuadrupedEnv(task)
+        ours = np.asarray(
+            jax.jit(jax.vmap(native.reward_from_features))(feats))
+        err = np.abs(ours - ref_r)
+        corr = (np.corrcoef(ours, ref_r)[0, 1]
+                if ref_r.std() > 1e-3 else float("nan"))
+        rows.append((f"quadruped_{task}", err.mean(), err.max(),
+                     float(ref_r.mean()), float(ref_r.std()), corr))
+    return rows
+
+
 def main() -> None:
-    frows = feature_rows()
-    rrows = reward_rows()
+    frows = feature_rows() + quadruped_feature_rows()
+    rrows = reward_rows() + quadruped_reward_rows()
     lines = [
         "# PARITY — cross-engine agreement vs dm_control/MuJoCo",
         "",
@@ -154,6 +212,18 @@ def main() -> None:
         "the exact capsule formula, so residuals come from small COM-offset",
         "differences of composite bodies.",
         "",
+        "**Quadruped** parity is at the FEATURE level: the dm_control",
+        "quadruped (12 actuators, 23-dim qpos) and the native 8-joint",
+        "model are different morphologies, so no state-level adapter",
+        "exists; every reference quadruped goal space and task reward is",
+        "a function of torso-level reads only (goals.py:97-112,",
+        "custom_dmc_tasks/quadruped.py:352-536), which",
+        "`data/exorl.py:mujoco_quadruped_features` maps exactly (up from",
+        "the root quaternion, body-frame velocity = the torso velocimeter).",
+        "The `com_z (vs root z)` row quantifies the one approximation:",
+        "the reference Jump reward reads whole-robot COM height where the",
+        "native layout carries root z.",
+        "",
         "## Reward relabel agreement",
         "",
         "Native `reward_from_physics` on adapted states vs the reference's",
@@ -172,6 +242,26 @@ def main() -> None:
         "",
         "Rewards are in [0, 1] per step; `mean abs err` is directly the",
         "average per-step reward discrepancy a relabeled buffer would see.",
+        "Quadruped stand/walk/run/roll/roll_fast relabel exactly (their",
+        "reads adapt exactly, see above); jump carries the COM-vs-root-z",
+        "approximation.",
+        "",
+        "## Not covered (descoped, with reasons)",
+        "",
+        "* **Quadruped policy transfer**: a policy trained on the native",
+        "  8-actuator quadruped cannot roll out on the 12-actuator",
+        "  dm_control model (different action/observation spaces by",
+        "  construction, custom_dmc_tasks/quadruped.py make_model) — the",
+        "  cross-engine anchor for the 3-D domain is the feature/reward",
+        "  tables above, which cover everything z-inference and relabeled",
+        "  offline training consume.",
+        "* **Jaco**: the reference jaco tasks are dm_control *composer*",
+        "  tasks (custom_dmc_tasks/jaco.py:61-64 builds an arm+props",
+        "  composer environment, not a suite XML); the composer stack's",
+        "  reward machinery is callback-driven rather than",
+        "  physics-replayable, and the native 6-dof reach arm is again a",
+        "  reduced morphology. The native jaco rewards reuse the same",
+        "  tolerance() primitives validated exactly on the other domains.",
         "",
     ]
     with open("PARITY.md", "w") as f:

@@ -120,6 +120,28 @@ def cheetah_features(env: tp.Any) -> np.ndarray:
 hopper_features = cheetah_features  # same named reads (hopper.py rewards)
 
 
+def quadruped_features(env: tp.Any) -> np.ndarray:
+    """[up, com_z, x, y, z, vx, vy, vz] — the reference's quadruped
+    reads: torso_upright / com_height / torso xpos / torso_velocity
+    (custom_dmc_tasks/quadruped.py:222-231, goals.py:97-112). Entries
+    2:8 line up with the native feature layout
+    (envs/quadruped.quad_features_single); index 1 carries the COM
+    height the Jump reward uses (the native layout keeps the root z
+    there — the parity report quantifies the offset)."""
+    p = env.physics
+    d = p.named.data
+    return np.array([
+        float(p.torso_upright()),
+        # whole-robot COM height == the custom Physics' com_height sensor
+        # read; subtree_com works on both the suite and custom models
+        float(d.subtree_com["torso", "z"]),
+        d.xpos["torso", "x"],
+        d.xpos["torso", "y"],
+        d.xpos["torso", "z"],
+        *p.torso_velocity(),
+    ], dtype=np.float64)
+
+
 def collect_rollout(env: tp.Any, n_steps: int, seed: int = 0,
                     feature_fn: tp.Optional[tp.Callable[[tp.Any], np.ndarray]] = None,
                     ) -> tp.Dict[str, np.ndarray]:
