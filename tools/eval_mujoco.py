@@ -74,6 +74,14 @@ def main() -> None:
     p.add_argument("--snapshots", action="store_true",
                    help="also evaluate every models/snapshot_* on the "
                         "primary task into eval.csv")
+    p.add_argument("--z-draws", type=int, default=8,
+                   help="average the inferred z over this many independent "
+                        "5120-sample reward regressions (the single-draw "
+                        "reference protocol, pretrain.py:166-184, is noisy "
+                        "on foreign buffers: round-3 stand returns were "
+                        "bimodal 234<->751 from the same checkpoint; the "
+                        "spherical mean cuts the estimator variance by "
+                        "~1/sqrt(draws))")
     p.add_argument("--seed", type=int, default=1)
     args = p.parse_args(argv)
 
@@ -146,11 +154,28 @@ def main() -> None:
             phys = adapter(bridge.mj_state(e)[None].astype(np.float32))
             return np.asarray(native_obs_fn(phys[0]))
 
+    def infer_z(reward_fn: tp.Any) -> tp.Tuple[np.ndarray, float]:
+        """Spherical mean of --z-draws independent reward regressions.
+        Returns (z, draw coherence = mean pairwise cosine of the draws —
+        1.0 means the single-draw protocol was already stable)."""
+        draws = np.stack([np.asarray(ws._infer_meta_from_replay(reward_fn))
+                          for _ in range(max(args.z_draws, 1))])
+        unit = draws / np.maximum(
+            np.linalg.norm(draws, axis=-1, keepdims=True), 1e-12)
+        cos = unit @ unit.T
+        n = len(unit)
+        coherence = (float((cos.sum() - n) / (n * (n - 1)))
+                     if n > 1 else 1.0)
+        z = unit.mean(0)
+        z = z / max(np.linalg.norm(z), 1e-12) * np.linalg.norm(draws[0])
+        return z.astype(np.float32), coherence
+
     results: tp.Dict[str, tp.List[float]] = {}
     for task in tasks:
         reward_fn = get_reward_function(task, ws.cfg.seed)
-        z = ws._infer_meta_from_replay(reward_fn)
-        meta = {agent.meta_key: z}
+        z, coherence = infer_z(reward_fn)
+        print(f"{task}: z draw coherence {coherence:.3f}", flush=True)
+        meta = {agent.meta_key: jnp.asarray(z)}
         env = bridge.make_env(task, seed=args.seed)
         act = make_act(ws.agent_state, meta)
         returns = [rollout_return(env, act, args.episode_length, obs_fn)
@@ -174,8 +199,8 @@ def main() -> None:
             ws.load_checkpoint(snap, only=["agent"])
             step = (int(snap.name.split("_")[1])
                     if snap.name.startswith("snapshot") else final_step)
-            z = ws._infer_meta_from_replay(reward_fn)
-            act = make_act(ws.agent_state, {agent.meta_key: z})
+            z, _ = infer_z(reward_fn)
+            act = make_act(ws.agent_state, {agent.meta_key: jnp.asarray(z)})
             returns = [rollout_return(env, act, args.episode_length, obs_fn)
                        for _ in range(args.episodes)]
             rows.append({"step": step,
