@@ -310,3 +310,48 @@ def test_quoted_annotation_counts_as_use() -> None:
            "def f(x: 'numpy.ndarray') -> None:\n    return None\n")
     tree = ast.parse(src)
     assert not check_unused_imports(tree, src)
+
+
+# ------------------------------------------------- formatting (black leg)
+
+def check_formatting(source: str) -> tp.List[str]:
+    """Black-analogue formatting invariants, stdlib-only (the reference CI
+    runs `black --check` — .circleci/config.yml:70-92; black itself is not
+    installable here, so this enforces the subset of its output style the
+    codebase relies on): no trailing whitespace, no tabs in indentation,
+    no runs of 3+ blank lines, and the file ends with exactly one
+    newline."""
+    out: tp.List[str] = []
+    lines = source.split("\n")
+    blanks = 0
+    for i, line in enumerate(lines, 1):
+        if line != line.rstrip():
+            out.append(f"{i}: trailing whitespace")
+        indent = line[:len(line) - len(line.lstrip())]
+        if "\t" in indent:
+            out.append(f"{i}: tab in indentation")
+        blanks = blanks + 1 if not line.strip() else 0
+        if blanks == 3 and i < len(lines):
+            out.append(f"{i}: 3+ consecutive blank lines")
+    if source and not source.endswith("\n"):
+        out.append("EOF: missing trailing newline")
+    if source.endswith("\n\n"):
+        out.append("EOF: multiple trailing newlines")
+    return out
+
+
+@pytest.mark.parametrize("path", SOURCES, ids=lambda p: str(p.relative_to(ROOT)))
+def test_formatting(path: pathlib.Path) -> None:
+    violations = check_formatting(path.read_text())
+    assert not violations, "\n".join(
+        f"{path.name}:{v}" for v in violations)
+
+
+def test_formatting_gate_fires() -> None:
+    assert any("trailing whitespace" in v
+               for v in check_formatting("x = 1 \n"))
+    assert any("tab" in v for v in check_formatting("if x:\n\ty = 1\n"))
+    assert any("blank" in v for v in check_formatting("a = 1\n\n\n\nb = 2\n"))
+    assert any("missing trailing" in v for v in check_formatting("x = 1"))
+    assert any("multiple trailing" in v for v in check_formatting("x = 1\n\n"))
+    assert not check_formatting("def f() -> int:\n    return 1\n")
