@@ -144,6 +144,23 @@ def main() -> None:
     # that turns a ~5 s episode into ~5 min. The PRNG key lives on CPU so
     # jax.random.split stays host-local, and the train state snapshot is
     # refreshed only every --policy-refresh-every episodes.
+    # host-side policy snapshots transfer ONLY the actor params: acting
+    # reads nothing else, and the full train state (optimizer moments,
+    # targets, modules) is ~10x the bytes through the relay — round-4
+    # collection spent half its wall clock on full-state snapshots.
+    # Everything the act program never reads is a zeros-shell built once
+    # from shapes (no device transfer; XLA DCEs the unused inputs).
+    shell = jax.tree.map(lambda x: np.zeros(x.shape, x.dtype), state)
+
+    def snapshot_policy(st):
+        ddpg_st = getattr(st, "ddpg", st)
+        actor_host = jax.tree.map(lambda x: np.asarray(x),
+                                  ddpg_st.actor_params)
+        if hasattr(shell, "ddpg"):
+            return shell.replace(
+                ddpg=shell.ddpg.replace(actor_params=actor_host))
+        return shell.replace(actor_params=actor_host)
+
     cpu_state = None
     t_env = t_act = t_train = t_xfer = 0.0
     for ep in range(args.episodes):
@@ -154,8 +171,7 @@ def main() -> None:
             # (block_until_ready is unreliable through the relay, and a
             # lazy device_put still references TPU buffers that the next
             # donating trainer call invalidates)
-            cpu_state = jax.device_put(
-                jax.tree.map(lambda x: np.asarray(x), state), cpu)
+            cpu_state = jax.device_put(snapshot_policy(state), cpu)
             t_xfer += time.time() - t0
         ts = env.reset()
         rows = {"observation": [flat_obs(ts)],
