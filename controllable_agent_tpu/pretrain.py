@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import sys
 import typing as tp
+from pathlib import Path
 
 from .config import apply_overrides
 from .train.workspace import OnlineWorkspace, OfflineWorkspace, WorkspaceConfig
@@ -52,7 +53,26 @@ def print_help(doc: tp.Optional[str]) -> None:
 
 def build_workspace(argv: tp.Sequence[str], offline: bool = False):
     agent_name, ws_overrides, agent_overrides = split_overrides(argv)
-    cfg = apply_overrides(WorkspaceConfig(agent_name=agent_name), ws_overrides)
+    # Resuming a folder that already has a config.json: the SAVED config
+    # is the base and CLI args are overrides. Without this, a partial
+    # command line (e.g. `demo.serve folder=...`) would rebuild the
+    # default workspace — and, since construction re-saves config.json,
+    # silently clobber the training run's recorded configuration.
+    base = WorkspaceConfig(agent_name=agent_name)
+    folder = next((o.split("=", 1)[1] for o in ws_overrides
+                   if o.startswith("folder=")), None)
+    cfg_path = Path(folder) / "config.json" if folder else None
+    if cfg_path is not None and cfg_path.exists():
+        import dataclasses as _dc
+        import json as _json
+        saved = _json.loads(cfg_path.read_text())
+        valid = {f.name for f in _dc.fields(WorkspaceConfig)}
+        fixed = {k: tuple(v) if isinstance(v, list) else v
+                 for k, v in saved.items() if k in valid}
+        if any(a.startswith("agent=") for a in argv):
+            fixed.pop("agent_name", None)  # CLI agent choice wins
+        base = _dc.replace(base, **fixed)
+    cfg = apply_overrides(base, ws_overrides)
     cls = OfflineWorkspace if offline else OnlineWorkspace
     return cls(cfg, agent_cfg_overrides=agent_overrides)
 

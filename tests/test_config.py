@@ -68,3 +68,28 @@ def test_cli_help(capsys) -> None:
         out = capsys.readouterr().out
         assert "workspace config" in out
         assert "fb_ddpg" in out
+
+
+def test_build_workspace_restores_saved_config(tmp_path) -> None:
+    """Folder-only resume rebuilds the RUN's config, not the defaults —
+    and therefore cannot clobber the recorded config.json (round-4
+    regression: `demo.serve folder=...` built a default point-mass
+    workspace over a walker run and overwrote its config)."""
+    from controllable_agent_tpu.pretrain import build_workspace
+    folder = tmp_path / "run"
+    ws = build_workspace([
+        "agent=discrete_fb", "task=grid_obstacle", "episode_length=12",
+        f"folder={folder}", "replay_buffer_episodes=7",
+        "agent.z_dim=16", "agent.hidden_dim=32", "agent.feature_dim=16",
+        "agent.backward_hidden_dim=32",
+    ], offline=True)
+    assert (folder / "config.json").exists()
+    del ws
+    ws2 = build_workspace([f"folder={folder}"], offline=True)
+    assert ws2.cfg.task == "grid_obstacle"
+    assert ws2.cfg.agent_name == "discrete_fb"
+    assert ws2.cfg.replay_buffer_episodes == 7
+    # CLI still overrides the saved base
+    ws3 = build_workspace([f"folder={folder}", "replay_buffer_episodes=9"],
+                          offline=True)
+    assert ws3.cfg.replay_buffer_episodes == 9 and ws3.cfg.task == "grid_obstacle"
