@@ -77,6 +77,9 @@ class WorkspaceConfig:
     # fill the buffer (train_offline) and to build the replay-eval env
     # (envs/d4rl_replay.py; reference d4rl_benchmark.py:35-76)
     d4rl_dataset: tp.Optional[str] = None
+    # spherical-mean z over this many independent reward regressions in
+    # finalize/eval inference (1 = the reference single-draw protocol)
+    z_inference_draws: int = 1
     final_tests: int = 10  # episodes per task in finalize(); 0 disables
     # milestone snapshots: frames at which to save models/snapshot_<frame>
     # (reference snapshot_at, pretrain.py:77-78; e.g. "100000,500000,2000000")
@@ -254,22 +257,44 @@ class Workspace:
             return {meta_key: self._infer_meta_from_replay(None)}
         return dict(agent.init_meta(state, self.keys.next()))
 
-    def _infer_meta_from_replay(self, custom_reward: tp.Optional[tp.Any]) -> Array:
+    def _infer_meta_from_replay(self, custom_reward: tp.Optional[tp.Any],
+                                draws: tp.Optional[int] = None) -> Array:
         """z regression over num_inference_steps relabeled samples:
         z = rᵀB/N for FB-style agents, lstsq(φ(s[,a]), r) for SF/SVD —
         action-conditioned dispatch for the SVD family (reference
-        pretrain.py:166-184 and the SVD branch :177-180)."""
+        pretrain.py:166-184 and the SVD branch :177-180).
+
+        ``draws`` > 1 returns the norm-preserving spherical mean of that
+        many independent regressions (cfg.z_inference_draws by default;
+        1 = the reference's single-draw protocol). Sampling noise of a
+        single draw is usually small (coherence ~0.99 on walker buffers)
+        but multimodal buffers benefit from averaging."""
         agent, state = self.agent, self.agent_state
         n = getattr(agent.cfg, "num_inference_steps", 5120)
-        batch = self.buffer.sample(
-            self.keys.next(), n,
-            custom_reward=(custom_reward.from_physics if custom_reward else None))
-        obs = batch.next_obs if (self.cfg.goal_space is None
-                                 or batch.next_goal is None) else batch.next_goal
-        if hasattr(agent, "infer_meta_from_obs_action_and_rewards"):
-            return agent.infer_meta_from_obs_action_and_rewards(
-                state, obs, batch.action, batch.reward)
-        return agent.infer_meta_from_obs_and_rewards(state, obs, batch.reward)
+        draws = self.cfg.z_inference_draws if draws is None else draws
+
+        def one_draw() -> Array:
+            batch = self.buffer.sample(
+                self.keys.next(), n,
+                custom_reward=(custom_reward.from_physics
+                               if custom_reward else None))
+            obs = batch.next_obs if (self.cfg.goal_space is None
+                                     or batch.next_goal is None
+                                     ) else batch.next_goal
+            if hasattr(agent, "infer_meta_from_obs_action_and_rewards"):
+                return agent.infer_meta_from_obs_action_and_rewards(
+                    state, obs, batch.action, batch.reward)
+            return agent.infer_meta_from_obs_and_rewards(state, obs,
+                                                         batch.reward)
+
+        if draws <= 1:
+            return one_draw()
+        zs = np.stack([np.asarray(one_draw()) for _ in range(draws)])
+        unit = zs / np.maximum(
+            np.linalg.norm(zs, axis=-1, keepdims=True), 1e-12)
+        mean = unit.mean(0)
+        mean = mean / max(float(np.linalg.norm(mean)), 1e-12)
+        return jnp.asarray(mean * np.linalg.norm(zs[0]), zs.dtype)
 
     def _make_eval_fn(self) -> tp.Callable:
         env, agent = self.env, self.agent
