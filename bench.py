@@ -33,8 +33,9 @@ def main() -> None:
 
     obs_dim, action_dim = 24, 6  # walker proprioceptive obs geometry
     # reference-default production geometry; bf16 on the MXU for the net
-    # matmuls (the loss-critical M einsums stay f32-HIGHEST inside the
-    # agent), ~4x over f32 with matching loss curves
+    # matmuls (loss einsums run Precision.DEFAULT with f32 casts at the
+    # loss boundary — agents/fb_ddpg.py), ~4x over f32 with matching
+    # loss curves
     cfg = FBDDPGConfig(compute_dtype="bfloat16")
     agent = FBDDPGAgent(cfg, obs_dim=obs_dim, action_dim=action_dim)
 

@@ -94,6 +94,10 @@ def to_flat_dict(cfg: tp.Any, prefix: str = "") -> tp.Dict[str, tp.Any]:
     return out
 
 
-def save_config(cfg: tp.Any, path: str) -> None:
+def save_config(cfg: tp.Any, path: str,
+                extra: tp.Optional[tp.Dict[str, tp.Any]] = None) -> None:
+    flat = to_flat_dict(cfg)
+    if extra:
+        flat.update(extra)
     with open(path, "w") as f:
-        json.dump(to_flat_dict(cfg), f, indent=2, default=str)
+        json.dump(flat, f, indent=2, default=str)

@@ -140,7 +140,10 @@ def mujoco_quadruped_features(physics: np.ndarray,
 
 
 # foreign-state -> native goal-feature adapters, for domains whose
-# morphologies differ (no state-level adapter possible)
+# morphologies differ (no state-level adapter possible, so these do NOT
+# appear in PHYSICS_ADAPTERS / load_exorl_episodes: a foreign quadruped
+# buffer cannot be replayed through the native engine at all — parity
+# tools and tests call the feature fn directly on stored MuJoCo states)
 FEATURE_ADAPTERS: tp.Dict[str, tp.Callable[[np.ndarray], np.ndarray]] = {
     "mujoco_quadruped": mujoco_quadruped_features,
 }

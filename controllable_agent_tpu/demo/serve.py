@@ -36,20 +36,10 @@ _PAGE = """<!DOCTYPE html>
 def _build_engine(folder: str):
     from ..pretrain import build_workspace
     from .core import DemoEngine
-    # rebuild the TRAINING configuration from the run's saved config.json
-    # (folder-only args would construct the default task's workspace and
-    # then fail to restore the checkpoint into mismatched networks)
-    import json
-    args = [f"folder={folder}"]
-    cfg_path = Path(folder) / "config.json"
-    if cfg_path.exists():
-        saved = json.loads(cfg_path.read_text())
-        for key in ("task", "goal_space", "obs_type", "discount", "future"):
-            if saved.get(key) is not None:
-                args.append(f"{key}={saved[key]}")
-        if saved.get("agent_name"):
-            args.append(f"agent={saved['agent_name']}")
-    ws = build_workspace(args, offline=True)
+    # folder-only args: build_workspace restores the run's full saved
+    # config.json (workspace fields AND resolved agent.* keys) as the
+    # base, so the checkpoint loads into identically-shaped networks
+    ws = build_workspace([f"folder={folder}"], offline=True)
     engine = DemoEngine(ws)
     return engine
 

@@ -62,6 +62,7 @@ def build_workspace(argv: tp.Sequence[str], offline: bool = False):
     folder = next((o.split("=", 1)[1] for o in ws_overrides
                    if o.startswith("folder=")), None)
     cfg_path = Path(folder) / "config.json" if folder else None
+    agent_cfg_base: tp.Optional[tp.Dict[str, tp.Any]] = None
     if cfg_path is not None and cfg_path.exists():
         import dataclasses as _dc
         import json as _json
@@ -72,9 +73,16 @@ def build_workspace(argv: tp.Sequence[str], offline: bool = False):
         if any(a.startswith("agent=") for a in argv):
             fixed.pop("agent_name", None)  # CLI agent choice wins
         base = _dc.replace(base, **fixed)
+        # the saved run's resolved agent.* keys are the agent-config base
+        # (checkpoints only restore into identically-shaped networks) —
+        # unless the CLI switches to a different agent class
+        if base.agent_name == saved.get("agent_name", base.agent_name):
+            agent_cfg_base = {k[len("agent."):]: v for k, v in saved.items()
+                              if k.startswith("agent.")} or None
     cfg = apply_overrides(base, ws_overrides)
     cls = OfflineWorkspace if offline else OnlineWorkspace
-    return cls(cfg, agent_cfg_overrides=agent_overrides)
+    return cls(cfg, agent_cfg_overrides=agent_overrides,
+               agent_cfg_base=agent_cfg_base)
 
 
 def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:

@@ -24,13 +24,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..agents.registry import AGENTS, make_agent
-from ..config import apply_overrides, save_config
+from ..config import apply_overrides, save_config, to_flat_dict
 from ..data import ReplayBuffer
 from ..envs.base import Environment
 from ..envs.gridworld import build_gridworld_task
 from ..envs.pointmass import PointMassMaze, TASKS as _PMM_TASKS
 from ..goals import get_goal_space_dim, get_reward_function, goal_spaces, goals
-from ..utils import KeyChain, Stopwatch, crossed
+from ..utils import KeyChain, Stopwatch, crossed, frames_remaining
 from . import checkpoint as ckpt_lib
 from .logger import Logger
 from .loops import OnlineTrainer, make_offline_trainer
@@ -127,7 +127,9 @@ def make_env(task: str, episode_length: tp.Optional[int] = None) -> Environment:
 
 class Workspace:
     def __init__(self, cfg: WorkspaceConfig,
-                 agent_cfg_overrides: tp.Sequence[str] = ()) -> None:
+                 agent_cfg_overrides: tp.Sequence[str] = (),
+                 agent_cfg_base: tp.Optional[tp.Dict[str, tp.Any]] = None
+                 ) -> None:
         self.cfg = cfg
         self.keys = KeyChain(cfg.seed)
         self.work_dir = Path(cfg.folder)
@@ -176,8 +178,19 @@ class Workspace:
         field_names = {f.name for f in dataclasses.fields(agent_cfg_cls)}
         cfg_kwargs = ({"goal_space": cfg.goal_space}
                       if "goal_space" in field_names else {})
-        agent_cfg = apply_overrides(
-            agent_cfg_cls(**cfg_kwargs), list(agent_cfg_overrides))
+        base_agent_cfg = agent_cfg_cls(**cfg_kwargs)
+        if agent_cfg_base:
+            # resumed folder: the saved run's resolved agent config is the
+            # base (a run trained with e.g. agent.z_dim=100 must rebuild
+            # the same network shapes before checkpoint restore); CLI
+            # agent.* overrides still win below
+            fixed = {k: tuple(v) if isinstance(v, list) else v
+                     for k, v in agent_cfg_base.items()
+                     if k in field_names}
+            base_agent_cfg = dataclasses.replace(base_agent_cfg, **fixed)
+        agent_cfg = apply_overrides(base_agent_cfg,
+                                    list(agent_cfg_overrides))
+        self.agent_cfg = agent_cfg
         if cfg.obs_type == "pixels":
             if not hasattr(agent_cfg, "obs_type"):
                 raise ValueError(
@@ -210,7 +223,12 @@ class Workspace:
         self._phys_feats_fn: tp.Optional[tp.Callable] = None
         self.eval_rewards_history: tp.List[float] = []
 
-        save_config(cfg, str(self.work_dir / "config.json"))
+        # persist the RESOLVED agent config alongside the workspace fields
+        # (flattened agent.* keys): folder resume / serve must rebuild the
+        # exact network shapes the checkpoint was trained with, not the
+        # agent-class defaults
+        save_config(cfg, str(self.work_dir / "config.json"),
+                    extra=to_flat_dict(agent_cfg, "agent."))
         if (self.work_dir / "models" / "latest").exists():
             self.load_checkpoint(self.work_dir / "models" / "latest")
         elif cfg.load_model is not None:
@@ -625,7 +643,8 @@ class OnlineWorkspace(Workspace):
         trainer.global_episode = self.global_episode
         T = self.env.spec.episode_length
         steps_per_cycle = T * cfg.num_envs
-        while self.global_step < cfg.num_train_frames:
+        while frames_remaining(self.global_step,
+                               cfg.num_train_frames) > 0:
             warmup = self.global_step < cfg.num_seed_frames
             if warmup:
                 trainer_updates, trainer.updates_per_step = trainer.updates_per_step, 0.0
@@ -677,7 +696,8 @@ class TrainOnlineWorkspace(Workspace):
         collector.global_step = self.global_step
         collector.global_episode = self.global_episode
         steps_per_cycle = T * cfg.num_rollout_episodes
-        while self.global_step < cfg.num_train_frames:
+        while frames_remaining(self.global_step,
+                               cfg.num_train_frames) > 0:
             prev_step = self.global_step
             if cfg.update_replay_buffer:
                 self.agent_state, metrics = collector.run_cycle(

@@ -93,3 +93,27 @@ def test_build_workspace_restores_saved_config(tmp_path) -> None:
     ws3 = build_workspace([f"folder={folder}", "replay_buffer_episodes=9"],
                           offline=True)
     assert ws3.cfg.replay_buffer_episodes == 9 and ws3.cfg.task == "grid_obstacle"
+
+
+def test_build_workspace_restores_agent_config(tmp_path) -> None:
+    """Folder-only resume restores the run's resolved agent.* config too
+    (round-5 / ADVICE: a run trained with agent.z_dim=16 must rebuild
+    16-dim networks on resume/serve, or the checkpoint restore loads into
+    wrong-shaped params)."""
+    from controllable_agent_tpu.pretrain import build_workspace
+    folder = tmp_path / "run"
+    ws = build_workspace([
+        "agent=discrete_fb", "task=grid_obstacle", "episode_length=12",
+        f"folder={folder}",
+        "agent.z_dim=16", "agent.hidden_dim=32", "agent.feature_dim=16",
+        "agent.backward_hidden_dim=32",
+    ], offline=True)
+    assert ws.agent_cfg.z_dim == 16
+    del ws
+    ws2 = build_workspace([f"folder={folder}"], offline=True)
+    assert ws2.agent_cfg.z_dim == 16
+    assert ws2.agent_cfg.hidden_dim == 32
+    # CLI agent.* overrides still beat the saved base
+    ws3 = build_workspace([f"folder={folder}", "agent.hidden_dim=64"],
+                          offline=True)
+    assert ws3.agent_cfg.hidden_dim == 64 and ws3.agent_cfg.z_dim == 16
