@@ -26,6 +26,7 @@ the reference's "dummy first transition" so that ``action[t]`` is the action
 from __future__ import annotations
 
 import functools
+import itertools
 import typing as tp
 
 import jax
@@ -285,11 +286,54 @@ class ReplayBuffer:
     # -- bulk load / relabel --------------------------------------------
     def load_episodes(self, episodes: tp.Iterable[tp.Dict[str, np.ndarray]]) -> None:
         """Bulk ingest (ExORL-style .npz episode dicts). Reference:
-        in_memory_replay_buffer.py:192-208."""
-        for episode in episodes:
-            if len(self) >= self._max_episodes:
+        in_memory_replay_buffer.py:192-208.
+
+        Into an EMPTY buffer (the offline-training case), the whole
+        storage is assembled host-side in numpy and moved in ONE device
+        transfer per array: the per-episode jitted ``add_episode`` pays a
+        relay round-trip per episode on a tunneled TPU (3,000 episodes
+        ~15 min; bulk is ~1 min). A non-empty buffer falls back to the
+        per-episode ring path.
+        """
+        it = iter(episodes)
+        if self.state is not None and len(self) > 0:
+            for episode in it:
+                if len(self) >= self._max_episodes:
+                    break
+                self.add_episode(episode)
+            return
+        first = next(it, None)
+        if first is None:
+            return
+        length = self._max_episode_length
+        if length is None:
+            length = next(iter(first.values())).shape[0] - 1
+        storage = {
+            name: np.zeros((self._max_episodes, length + 1) + tuple(v.shape[1:]),
+                           v.dtype)
+            for name, v in first.items()}
+        lengths = np.zeros((self._max_episodes,), np.int32)
+        n = 0
+        for episode in itertools.chain([first], it):
+            if n >= self._max_episodes:
                 break
-            self.add_episode(episode)
+            t = next(iter(episode.values())).shape[0]
+            if t > length + 1:
+                raise ValueError(
+                    f"episode has {t - 1} steps but the buffer was sized "
+                    f"for {length} (max_episode_length)")
+            for name, v in episode.items():
+                storage[name][n, :t] = v
+            lengths[n] = t - 1
+            n += 1
+        self.state = ReplayState(
+            storage={k: jnp.asarray(v) for k, v in storage.items()},
+            ep_lengths=jnp.asarray(lengths),
+            n_episodes=jnp.asarray(n, jnp.int32),
+            idx=jnp.asarray(n % self._max_episodes, jnp.int32),
+            max_episodes=self._max_episodes,
+            max_episode_length=length)
+        self._collected_episodes += n
 
     def relabel(self, custom_reward: tp.Callable[[np.ndarray], np.ndarray]) -> None:
         """Recompute all rewards from stored physics (reference :210-216)."""

@@ -176,3 +176,50 @@ def test_nstep_sampling_semantics() -> None:
         np.testing.assert_allclose(b_rew[i, 0], expected, rtol=1e-4)
         np.testing.assert_array_equal(b_next[i],
                                       obs_store[e, step + n - 1])
+
+
+def test_bulk_load_matches_per_episode() -> None:
+    """load_episodes into an empty buffer takes the bulk host-assembly
+    path (one device transfer per array, not one jitted add per episode —
+    a relay round-trip each on a tunneled TPU) and must produce the exact
+    state the per-episode path would."""
+    eps = [_make_episode(10, seed=i) for i in range(4)]
+    a = ReplayBuffer(max_episodes=6, discount=0.98, future=0.99,
+                     max_episode_length=10)
+    for ep in eps:
+        a.add_episode(ep)
+    b = ReplayBuffer(max_episodes=6, discount=0.98, future=0.99,
+                     max_episode_length=10)
+    b.load_episodes(iter(eps))
+    assert len(b) == 4 and b._collected_episodes == 4
+    assert int(b.state.idx) == int(a.state.idx)
+    np.testing.assert_array_equal(np.asarray(b.state.ep_lengths),
+                                  np.asarray(a.state.ep_lengths))
+    for k in a.state.storage:
+        np.testing.assert_array_equal(np.asarray(b.state.storage[k]),
+                                      np.asarray(a.state.storage[k]))
+    # identical samples from identical states
+    key = jax.random.PRNGKey(0)
+    sa = a.sample(key, 16)
+    sb = b.sample(key, 16)
+    np.testing.assert_array_equal(np.asarray(sa.obs), np.asarray(sb.obs))
+
+
+def test_bulk_load_caps_and_variable_length() -> None:
+    eps = [_make_episode(5 + i, seed=i) for i in range(5)]
+    buf = ReplayBuffer(max_episodes=3, discount=0.98, future=0.99,
+                       max_episode_length=12)
+    buf.load_episodes(eps)
+    assert len(buf) == 3
+    lengths = np.asarray(buf.state.ep_lengths)[:3]
+    np.testing.assert_array_equal(lengths, [5, 6, 7])
+    # idx wrapped to 0: the ring is exactly full
+    assert int(buf.state.idx) == 0
+
+
+def test_bulk_load_into_nonempty_falls_back() -> None:
+    buf = ReplayBuffer(max_episodes=5, discount=0.98, future=0.99,
+                       max_episode_length=10)
+    buf.add_episode(_make_episode(10, seed=0))
+    buf.load_episodes([_make_episode(10, seed=1), _make_episode(10, seed=2)])
+    assert len(buf) == 3 and buf._collected_episodes == 3

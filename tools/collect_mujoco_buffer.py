@@ -112,11 +112,10 @@ def main() -> None:
 
     if args.load_dir is not None:
         from controllable_agent_tpu.data.exorl import load_exorl_episodes
-        n_loaded = 0
-        for epi in load_exorl_episodes(Path(args.load_dir)):
-            buffer.add_episode(epi)
-            n_loaded += 1
-        print(f"preloaded {n_loaded} episodes from {args.load_dir}",
+        # bulk path: one host-side assembly + one device transfer per
+        # array (per-episode adds pay a relay round-trip each)
+        buffer.load_episodes(load_exorl_episodes(Path(args.load_dir)))
+        print(f"preloaded {len(buffer)} episodes from {args.load_dir}",
               flush=True)
     if args.warmup_updates > 0:
         if n_preload == 0:
