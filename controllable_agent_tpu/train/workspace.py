@@ -78,8 +78,14 @@ class WorkspaceConfig:
     # (envs/d4rl_replay.py; reference d4rl_benchmark.py:35-76)
     d4rl_dataset: tp.Optional[str] = None
     # spherical-mean z over this many independent reward regressions in
-    # finalize/eval inference (1 = the reference single-draw protocol)
-    z_inference_draws: int = 1
+    # finalize/eval inference (1 = the reference single-draw protocol).
+    # Default 8: draw coherence at 5,120 samples is already 0.98-0.99,
+    # but on some task/checkpoint pairs the return-vs-z landscape is
+    # sharp enough that draws 0.98-coherent with each other land in
+    # behavior modes scoring 227 vs 963 (results/z_study/) — averaging
+    # 8 draws cuts the angular jitter ~1/sqrt(8) for the cost of 8
+    # small regressions. Every round-4+ battery used 8.
+    z_inference_draws: int = 8
     final_tests: int = 10  # episodes per task in finalize(); 0 disables
     # milestone snapshots: frames at which to save models/snapshot_<frame>
     # (reference snapshot_at, pretrain.py:77-78; e.g. "100000,500000,2000000")

@@ -159,8 +159,9 @@ def main() -> None:
             zs = []
             for _ in range(args.draws):
                 key, kd = jax.random.split(key)
-                b, r = draw_batch(kd, n, reward_fn)
-                zs.append(mk_z(np.asarray(b, np.float64), r))
+                obs, r = draw_batch(kd, n, reward_fn)
+                b = np.asarray(backward(obs), np.float64)
+                zs.append(mk_z(b, r))
             zs = np.stack(zs)
             zs_by_proto[name] = zs
             protocols[name] = {"coherence": pairwise_coherence(zs)}
