@@ -62,6 +62,11 @@ def main() -> None:
     p.add_argument("--start-ep", type=int, default=0,
                    help="episode-file numbering offset (append to an "
                         "existing directory)")
+    p.add_argument("--agent-override", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="agent config overrides (repeatable), e.g. "
+                        "--agent-override rnd_scale=2.0 for a tuned "
+                        "exploration attempt")
     args = p.parse_args()
 
     import jax
@@ -83,6 +88,9 @@ def main() -> None:
     cfg = dataclasses.replace(
         cfg, batch_size=args.batch_size,
         num_expl_steps=args.random_episodes * T)
+    if args.agent_override:
+        from controllable_agent_tpu.config import apply_overrides
+        cfg = apply_overrides(cfg, args.agent_override)
     spec = EnvSpec(obs_dim=obs_dim, action_dim=action_dim,
                    physics_dim=bridge.mj_state(env).shape[0], goal_dim=0,
                    episode_length=T)
