@@ -158,7 +158,10 @@ def main() -> None:
         """Spherical mean of --z-draws independent reward regressions.
         Returns (z, draw coherence = mean pairwise cosine of the draws —
         1.0 means the single-draw protocol was already stable)."""
-        draws = np.stack([np.asarray(ws._infer_meta_from_replay(reward_fn))
+        # draws=1 per call: --z-draws is the ONLY averaging knob here
+        # (the workspace's own z_inference_draws defaults to 8 now)
+        draws = np.stack([np.asarray(ws._infer_meta_from_replay(reward_fn,
+                                                                draws=1))
                           for _ in range(max(args.z_draws, 1))])
         unit = draws / np.maximum(
             np.linalg.norm(draws, axis=-1, keepdims=True), 1e-12)
