@@ -14,7 +14,11 @@ step. Here the loop building blocks are fused XLA programs:
     replacing the reference's per-step act() round trip. Works with any
     agent through the uniform meta-dict policy interface (policy_act /
     rollout_update_meta), including per-step meta resampling inside the
-    scan (the reference's update_meta hook, pretrain.py:626).
+    scan (the reference's update_meta hook, pretrain.py:626). With
+    ``hold_meta`` the per-step resampling is skipped entirely, so the
+    caller's meta (e.g. a reward-inferred task z) drives the WHOLE
+    episode — the jittable analogue of the reference's solved_meta
+    rollouts (url_benchmark/agent/fb_ddpg.py:234-237).
   * ``OnlineTrainer`` — anytrain-style cycles (url_benchmark/anytrain.py:133-164):
     collect one batch of episodes, commit to the buffer, run matched
     gradient steps.
@@ -75,7 +79,8 @@ def make_episode_collector(env: Environment, agent: tp.Any,
                            num_envs: int,
                            goal_fn: tp.Optional[tp.Callable[[Array], Array]] = None,
                            mesh: tp.Optional[tp.Any] = None,
-                           mesh_axis: str = "dp") -> tp.Callable:
+                           mesh_axis: str = "dp",
+                           hold_meta: bool = False) -> tp.Callable:
     """Returns jitted ``collect(train_state, meta, keys, step, act_key) ->
     trajectory``.
 
@@ -110,7 +115,8 @@ def make_episode_collector(env: Environment, agent: tp.Any,
         def scan_body(carry, t):
             states, ts, meta, key = carry
             key, k_act, k_meta = jax.random.split(key, 3)
-            meta = agent.rollout_update_meta(train_state, meta, t, k_meta)
+            if not hold_meta:
+                meta = agent.rollout_update_meta(train_state, meta, t, k_meta)
             action = agent.policy_act(train_state, ts.observation, meta,
                                       step, k_act, eval_mode=False)
             states, new_ts = jax.vmap(env.step)(states, action)
@@ -155,7 +161,8 @@ class OnlineTrainer:
                  goal_fn: tp.Optional[tp.Callable[[Array], Array]] = None,
                  updates_per_step: float = 0.5,
                  max_steps_per_call: int = 200,
-                 mesh: tp.Optional[tp.Any] = None) -> None:
+                 mesh: tp.Optional[tp.Any] = None,
+                 hold_meta: bool = False) -> None:
         self.env = env
         self.agent = agent
         self.buffer = buffer
@@ -168,16 +175,21 @@ class OnlineTrainer:
         self.max_steps_per_call = max_steps_per_call
         self.mesh = mesh
         self.collect = make_episode_collector(env, agent, num_envs, goal_fn,
-                                              mesh=mesh)
+                                              mesh=mesh, hold_meta=hold_meta)
         self._trainers: tp.Dict[int, tp.Callable] = {}
         self.global_step = 0
         self.global_episode = 0
 
-    def run_cycle(self, train_state: tp.Any, key: jax.Array
+    def run_cycle(self, train_state: tp.Any, key: jax.Array,
+                  meta: tp.Optional[tp.Dict[str, Array]] = None
                   ) -> tp.Tuple[tp.Any, tp.Dict[str, float]]:
+        """One collect+update cycle. ``meta`` overrides the per-env rollout
+        meta (dict of [num_envs, ...] arrays, e.g. task-inferred z's for a
+        directed-rollout mix); default is the agent's random init_meta."""
         k_meta, k_reset, k_act, k_train = jax.random.split(key, 4)
-        meta = init_meta_batched(self.agent, train_state, k_meta,
-                                 self.num_envs)
+        if meta is None:
+            meta = init_meta_batched(self.agent, train_state, k_meta,
+                                     self.num_envs)
         reset_keys = jax.random.split(k_reset, self.num_envs)
         traj = self.collect(train_state, meta, reset_keys,
                             jnp.asarray(self.global_step), k_act)

@@ -86,6 +86,21 @@ class WorkspaceConfig:
     # 8 draws cuts the angular jitter ~1/sqrt(8) for the cost of 8
     # small regressions. Every round-4+ battery used 8.
     z_inference_draws: int = 8
+    # directed-rollout mix (train_online only): this fraction of each
+    # cycle's rollout episodes uses reward-inferred task z's, HELD FIXED
+    # for the whole episode, instead of fresh random z's. Random-z FB
+    # rollouts on quadruped are ~stationary for any train task (1.5% of
+    # frames above walk's 0.5 m/s target — results/quad_one_walk/), so
+    # the replay never contains the locomotion data zero-shot walk/run
+    # need; mixing in task-z episodes puts it there. The reference has
+    # the same hook (solved_meta rollouts, url_benchmark/agent/
+    # fb_ddpg.py:234-237) but never enables it for FB.
+    rollout_task_z_ratio: float = 0.0
+    # comma-separated full task names whose z's the directed episodes
+    # cycle through (default: the train task)
+    rollout_task_z_tasks: tp.Optional[str] = None
+    # re-infer the directed z's from the replay this often
+    task_z_refresh_frames: int = 100_000
     final_tests: int = 10  # episodes per task in finalize(); 0 disables
     # milestone snapshots: frames at which to save models/snapshot_<frame>
     # (reference snapshot_at, pretrain.py:77-78; e.g. "100000,500000,2000000")
@@ -692,28 +707,73 @@ class TrainOnlineWorkspace(Workspace):
         from .loops import OnlineTrainer, make_offline_trainer
         cfg = self.cfg
         T = self.env.spec.episode_length
+        # directed-rollout mix: split the cycle's episodes into a random-z
+        # collector and a held-task-z collector (static split — two small
+        # compiled programs instead of a traced per-env branch)
+        n_task = int(round(cfg.rollout_task_z_ratio
+                           * cfg.num_rollout_episodes))
+        n_task = min(max(n_task, 0), cfg.num_rollout_episodes)
+        n_rand = cfg.num_rollout_episodes - n_task
         collector = OnlineTrainer(
             self.env, self.agent, self.buffer,
-            num_envs=cfg.num_rollout_episodes, goal_fn=self.goal_fn,
-            updates_per_step=0.0)  # collection only; updates run below
+            num_envs=n_rand or cfg.num_rollout_episodes,
+            goal_fn=self.goal_fn,
+            updates_per_step=0.0) if n_rand else None
+        task_collector = OnlineTrainer(
+            self.env, self.agent, self.buffer, num_envs=n_task,
+            goal_fn=self.goal_fn, updates_per_step=0.0,
+            hold_meta=True) if n_task else None
+        task_names = ([s.strip() for s in cfg.rollout_task_z_tasks.split(",")
+                       if s.strip()] if cfg.rollout_task_z_tasks
+                      else [cfg.task])
+        task_zs: tp.Optional[np.ndarray] = None  # [len(task_names), z_dim]
+        last_refresh = -(10 ** 12)
+        meta_key = getattr(self.agent, "meta_key", "z")
         trainer = make_offline_trainer(
             self.agent, self.buffer.cfg, self.agent.cfg.batch_size,
             steps_per_call=cfg.num_agent_updates)
-        collector.global_step = self.global_step
-        collector.global_episode = self.global_episode
         steps_per_cycle = T * cfg.num_rollout_episodes
         while frames_remaining(self.global_step,
                                cfg.num_train_frames) > 0:
             prev_step = self.global_step
             if cfg.update_replay_buffer:
-                self.agent_state, metrics = collector.run_cycle(
-                    self.agent_state, self.keys.next())
-                self.global_step = collector.global_step
-                self.global_episode = collector.global_episode
+                metrics = {}
+                if collector is not None:
+                    collector.global_step = self.global_step
+                    self.agent_state, m = collector.run_cycle(
+                        self.agent_state, self.keys.next())
+                    metrics.update(m)
+                    self.global_step += T * n_rand
+                    self.global_episode += n_rand
+                if task_collector is not None:
+                    can_infer = (len(self.buffer) > 0
+                                 and self.global_step >= cfg.num_seed_frames)
+                    task_meta = None
+                    if can_infer:
+                        if (task_zs is None or self.global_step - last_refresh
+                                >= cfg.task_z_refresh_frames):
+                            task_zs = np.stack([
+                                np.asarray(self._infer_meta_from_replay(
+                                    get_reward_function(t, cfg.seed)))
+                                for t in task_names])
+                            last_refresh = self.global_step
+                        task_meta = {meta_key: jnp.asarray(np.stack(
+                            [task_zs[i % len(task_names)]
+                             for i in range(n_task)]))}
+                    # before the buffer can support inference the directed
+                    # slots fall back to (held) random z's
+                    task_collector.global_step = self.global_step
+                    self.agent_state, m2 = task_collector.run_cycle(
+                        self.agent_state, self.keys.next(), meta=task_meta)
+                    if can_infer:
+                        metrics["task_episode_reward"] = m2["episode_reward"]
+                    metrics.setdefault("episode_reward",
+                                       m2["episode_reward"])
+                    self.global_step += T * n_task
+                    self.global_episode += n_task
             else:
                 metrics = {}
                 self.global_step += steps_per_cycle
-                collector.global_step = self.global_step
             self._maybe_snapshot(prev_step)
             if len(self.buffer) > 0:
                 self.agent_state, m = trainer(
