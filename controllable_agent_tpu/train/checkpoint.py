@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import shutil
+import time
 import typing as tp
 from pathlib import Path
 
@@ -96,10 +97,18 @@ def load_checkpoint(path: tp.Union[str, Path],
     path = Path(path)
     templates = templates or {}
     # a leftover <name>.tmp means a save was interrupted mid-write; the
-    # committed checkpoint at ``path`` is the valid one — clean the orphan
+    # committed checkpoint at ``path`` is the valid one — clean the orphan.
+    # Only a STALE tmp is an orphan: a fresh one is most likely a LIVE
+    # writer mid-save (e.g. an analysis tool reading a running trainer's
+    # folder), and deleting it under the writer corrupts the save.
     orphan = path.with_name(path.name + ".tmp")
     if orphan.exists():
-        shutil.rmtree(orphan)
+        try:
+            age = time.time() - orphan.stat().st_mtime
+            if age > 900:
+                shutil.rmtree(orphan)
+        except OSError:
+            pass  # racing a live writer — leave its tmp alone
     meta = json.loads((path / "meta.json").read_text())
     saved = [k for k in meta["keys"] if k not in ("global_step", "global_episode")]
     keys = [k for k in saved

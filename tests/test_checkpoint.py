@@ -83,3 +83,25 @@ def test_snapshot_at_and_load_model(tmp_path) -> None:
     ])
     meta = json.loads((folder2 / "models" / "latest" / "meta.json").read_text())
     assert meta["global_step"] >= 100  # counters inherited from the snapshot
+
+
+def test_fresh_tmp_is_not_treated_as_orphan(tmp_path) -> None:
+    """A live writer's <name>.tmp (recent mtime) must survive a concurrent
+    load; only a STALE tmp from an interrupted save is cleaned up."""
+    import os
+    import time
+
+    agent, state = _state()
+    path = tmp_path / "ckpt"
+    ckpt.save_checkpoint(path, {"agent": state, "global_step": 1,
+                                "global_episode": 1})
+    tmp = tmp_path / "ckpt.tmp"
+    tmp.mkdir()
+    (tmp / "agent.msgpack").write_bytes(b"partial")
+    out = ckpt.load_checkpoint(path, {"agent": agent.init(jax.random.key(1))})
+    assert out["global_step"] == 1
+    assert tmp.exists()  # fresh tmp left alone
+    stale = time.time() - 3600
+    os.utime(tmp, (stale, stale))
+    ckpt.load_checkpoint(path, {"agent": agent.init(jax.random.key(2))})
+    assert not tmp.exists()  # stale orphan cleaned
