@@ -51,7 +51,8 @@ def print_help(doc: tp.Optional[str]) -> None:
         print(f"  {name}: {fields}")
 
 
-def build_workspace(argv: tp.Sequence[str], offline: bool = False):
+def build_workspace(argv: tp.Sequence[str], offline: bool = False,
+                    workspace_cls: tp.Optional[type] = None):
     agent_name, ws_overrides, agent_overrides = split_overrides(argv)
     # Resuming a folder that already has a config.json: the SAVED config
     # is the base and CLI args are overrides. Without this, a partial
@@ -80,7 +81,7 @@ def build_workspace(argv: tp.Sequence[str], offline: bool = False):
             agent_cfg_base = {k[len("agent."):]: v for k, v in saved.items()
                               if k.startswith("agent.")} or None
     cfg = apply_overrides(base, ws_overrides)
-    cls = OfflineWorkspace if offline else OnlineWorkspace
+    cls = workspace_cls or (OfflineWorkspace if offline else OnlineWorkspace)
     return cls(cfg, agent_cfg_overrides=agent_overrides,
                agent_cfg_base=agent_cfg_base)
 

@@ -10,9 +10,7 @@ from __future__ import annotations
 import sys
 import typing as tp
 
-from .config import apply_overrides
-from .pretrain import split_overrides
-from .train.workspace import TrainOnlineWorkspace, WorkspaceConfig
+from .train.workspace import TrainOnlineWorkspace
 
 
 def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
@@ -21,9 +19,12 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
         from .pretrain import print_help
         print_help(__doc__)
         return
-    agent_name, ws_overrides, agent_overrides = split_overrides(argv)
-    cfg = apply_overrides(WorkspaceConfig(agent_name=agent_name), ws_overrides)
-    ws = TrainOnlineWorkspace(cfg, agent_cfg_overrides=agent_overrides)
+    # build_workspace handles the folder-resume config restore (a saved
+    # config.json is the base, CLI args are overrides) — without it a
+    # folder-only resume would rebuild the DEFAULT config and clobber the
+    # run's recorded configuration
+    from .pretrain import build_workspace
+    ws = build_workspace(argv, workspace_cls=TrainOnlineWorkspace)
     ws.train()
 
 
